@@ -1,0 +1,144 @@
+"""Stochastic differential equation solvers with splittable-PRNG Brownian paths.
+
+Replaces the reference's use of ``torchsde.sdeint_adjoint`` (reference
+models/mocogan_sde.py:4,57-59: Ito SDE, diagonal noise, ``method='euler'``,
+``dt=2.5e-2`` over ``linspace(0, 1, T)``). Semantics matched:
+
+* drift ``f(t, y, args)`` and diffusion ``g(t, y, args)`` both map to pytrees of the
+  same structure as ``y``; "diagonal" noise means the Brownian motion has one
+  independent channel per state element and the diffusion acts elementwise.
+* ``dt`` bounds the internal step: each output interval ``(ts[i], ts[i+1])`` is
+  subdivided into ``ceil((ts[i+1]-ts[i]) / dt)`` equal Euler-Maruyama substeps —
+  for the reference config (T=16 outputs on [0,1], dt=0.025) that is 40 internal
+  steps per unit time, 3 per interval.
+
+TPU-first design:
+
+* The Brownian increments are a *pure function* of ``(key, global substep index)``:
+  ``dW_k = sqrt(h) * normal(fold_in(key, k))``. Under the checkpointed-scan backward
+  pass the increments are regenerated bit-identically, which is exactly the property
+  torchsde's BrownianInterval provides for its adjoint — here it falls out of
+  counter-based splittable PRNG for free, with no host-side tree structure.
+* The whole path is one ``lax.scan``; substep counts are static so XLA sees a fixed
+  trip count.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .solve import SolveStats
+
+
+def _substeps(ts, dt) -> int:
+    """Static number of substeps per output interval (uniform grid assumed)."""
+    ts = jnp.asarray(ts)
+    if dt is None:
+        return 1
+    # Uniform-grid fast path: lengths are static Python ints under jit tracing
+    # only if ts is concrete; fall back to conservative bound otherwise.
+    try:
+        interval = float(ts[1] - ts[0])
+        return max(1, math.ceil(round(interval / float(dt), 9)))
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        raise ValueError(
+            "sdeint requires a concrete (non-traced) ts/dt so the substep count is "
+            "static; pass ts as a numpy array or Python floats."
+        )
+
+
+def _diag_normals(key, k, shape, dtype):
+    return jax.random.normal(jax.random.fold_in(key, k), shape, dtype)
+
+
+def sdeint(
+    drift: Callable[..., Any],
+    diffusion: Callable[..., Any],
+    y0,
+    ts,
+    key,
+    args=None,
+    *,
+    dt: float | None = None,
+    method: str = "euler",
+    noise_type: str = "diagonal",
+    checkpoint: bool = True,
+    return_stats: bool = False,
+):
+    """Integrate the Ito SDE ``dy = f dt + g dW`` over the output grid ``ts``.
+
+    Args:
+      drift, diffusion: ``(t, y[, args]) -> pytree like y``.
+      y0: initial state pytree.
+      ts: output times (concrete array), also defining interval boundaries.
+      key: PRNG key generating the Brownian path (the path is a deterministic
+        function of this key — reuse the key to replay the same path).
+      dt: max internal step; each interval is split into ceil(interval/dt) equal
+        substeps (torchsde fixed-step semantics).
+      method: 'euler' (Euler-Maruyama) or 'milstein' (diagonal-noise Milstein).
+      noise_type: only 'diagonal' is supported (the reference uses only diagonal,
+        reference models/mocogan_sde.py:20).
+
+    Returns:
+      ys stacked over a leading time axis (ys[0] == y0), plus SolveStats if asked.
+    """
+    if noise_type != "diagonal":
+        raise NotImplementedError("only diagonal noise is implemented")
+    if method not in ("euler", "milstein"):
+        raise ValueError(f"unknown SDE method {method!r}")
+
+    f = (lambda t, y: drift(t, y)) if args is None else (lambda t, y: drift(t, y, args))
+    g = (lambda t, y: diffusion(t, y)) if args is None else (lambda t, y: diffusion(t, y, args))
+
+    ts = jnp.asarray(ts)
+    spi = _substeps(ts, dt)
+    flat_y0, treedef = jax.tree.flatten(y0)
+
+    def em_substep(t, h, y, dW):
+        fv = f(t, y)
+        gv = g(t, y)
+        y1 = jax.tree.map(lambda yi, fi, gi, wi: yi + fi * h + gi * wi, y, fv, gv, dW)
+        if method == "milstein":
+            # Diagonal Milstein: + 0.5 * g * diag(dg/dy) * (dW^2 - h).
+            # diag(J_g) per leaf via vmapped basis JVPs is overkill for the small
+            # latent states this library solves; use the standard elementwise
+            # surrogate: directional derivative of g along g (exact when each
+            # g_i depends only on y_i, the classical diagonal-Milstein setting).
+            _, dg = jax.jvp(lambda y_: g(t, y_), (y,), (gv,))
+            y1 = jax.tree.map(
+                lambda yi, gdgi, wi: yi + 0.5 * gdgi * (wi * wi - h),
+                y1, dg, dW,
+            )
+        return y1
+
+    def interval(carry, t_pair):
+        y, k_idx = carry
+        t0, t1 = t_pair
+        h = (t1 - t0) / spi
+        sqrt_h = jnp.sqrt(jnp.abs(h))
+
+        def sub(inner, j):
+            yj, kj = inner
+            keys = jax.random.split(jax.random.fold_in(key, kj), len(flat_y0))
+            dW = treedef.unflatten([
+                sqrt_h * jax.random.normal(kk, leaf.shape, leaf.dtype)
+                for kk, leaf in zip(keys, jax.tree.leaves(yj))
+            ])
+            yj1 = em_substep(t0 + j.astype(h.dtype) * h, h, yj, dW)
+            return (yj1, kj + 1), None
+
+        (y1, k_idx), _ = lax.scan(sub, (y, k_idx), jnp.arange(spi))
+        return (y1, k_idx), y1
+
+    body = jax.checkpoint(interval) if checkpoint else interval
+    _, ys_tail = lax.scan(body, (y0, jnp.asarray(0, jnp.int32)), (ts[:-1], ts[1:]))
+    ys = jax.tree.map(lambda a, b: jnp.concatenate([a[None], b], 0), y0, ys_tail)
+    if return_stats:
+        n_steps = (ts.shape[0] - 1) * spi
+        per_step = 2 if method == "euler" else 4  # f, g (+ jvp pair for milstein)
+        return ys, SolveStats(nfe=per_step * n_steps, n_steps=n_steps)
+    return ys
