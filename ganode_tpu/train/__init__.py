@@ -1,0 +1,43 @@
+"""Training engines: the jitted alternating-Adam GAN loop and the functional
+ODE-GAN (optimizer-as-ODE) trainer."""
+from .gan import GANTrainer, reference_adam
+from .losses import (
+    LOSSES,
+    bce_logits,
+    d_loss_bce,
+    d_loss_hinge,
+    d_loss_wasserstein,
+    g_loss_bce,
+    g_loss_hinge,
+    g_loss_wasserstein,
+    gradient_penalty,
+)
+from .odegan import (
+    ODEGANTrainer,
+    discriminator_regularizer,
+    euler_step,
+    rk2_step,
+    rk4_step,
+)
+from .state import GANState, NetState
+
+__all__ = [
+    "GANState",
+    "GANTrainer",
+    "LOSSES",
+    "NetState",
+    "ODEGANTrainer",
+    "bce_logits",
+    "d_loss_bce",
+    "d_loss_hinge",
+    "d_loss_wasserstein",
+    "discriminator_regularizer",
+    "euler_step",
+    "g_loss_bce",
+    "g_loss_hinge",
+    "g_loss_wasserstein",
+    "gradient_penalty",
+    "rk2_step",
+    "rk4_step",
+    "reference_adam",
+]

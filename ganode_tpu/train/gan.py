@@ -1,0 +1,217 @@
+"""Alternating-Adam GAN training as one jitted, donate-able step function.
+
+Rebuilds the reference's inline training loop (reference mnist_moco_ode.py:111-163):
+per step, ``d_iters`` updates of the image and video discriminators on fresh real
+batches against no-grad generator samples, then one generator update through both
+discriminators — here expressed as a single pure function
+
+    train_step(state, images, videos, key) -> (state', metrics)
+
+with images (d_iters, B, H, W, C) and videos (d_iters, B, T, H, W, C). The whole
+step — including every ODE/SDE/CDE solve — compiles to one XLA program; batch
+semantics match the reference:
+
+* generator samples inside D updates are ``stop_gradient``-ed (torch ``no_grad``)
+  but still refresh the generator's BatchNorm batch stats, as train-mode torch
+  BN does under no_grad;
+* discriminator BN stats advance on real and fake passes separately, and again
+  during the G step (train-mode D in the reference's G update);
+* optimizer = Adam(lr 2e-4, betas (0.5, 0.999)) with torch-style additive weight
+  decay 1e-5 (decay added to the gradient BEFORE the moment update, matching
+  torch.optim.Adam(weight_decay=...), not decoupled AdamW);
+* optional parameter noise after each update (reference
+  mnist_moco_ode_noise.py:31-35 / _wgan.py) and WGAN-GP (new).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from .losses import LOSSES, gradient_penalty
+from .state import GANState, NetState
+
+
+def reference_adam(lr: float = 2e-4, b1: float = 0.5, b2: float = 0.999,
+                   weight_decay: float = 1e-5) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, betas, weight_decay) semantics."""
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.adam(lr, b1=b1, b2=b2))
+    return optax.chain(*parts)
+
+
+def _add_param_noise(params, key, sigma: float):
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(key, len(leaves))
+    return treedef.unflatten([
+        p + sigma * jax.random.normal(k, p.shape, p.dtype)
+        for p, k in zip(leaves, keys)
+    ])
+
+
+@dataclasses.dataclass
+class GANTrainer:
+    """Builds init/step functions for the alternating GAN loop.
+
+    gen: VideoGenerator module; dis_img / dis_vid: discriminator modules.
+    """
+
+    gen: nn.Module
+    dis_img: nn.Module
+    dis_vid: nn.Module
+    batch_size: int = 32
+    d_iters: int = 2
+    loss: str = "bce"
+    lr: float = 2e-4
+    betas: Tuple[float, float] = (0.5, 0.999)
+    weight_decay: float = 1e-5
+    param_noise_sigma: float = 0.0
+    gp_weight: float = 0.0
+
+    def __post_init__(self):
+        if self.loss not in LOSSES:
+            raise ValueError(f"unknown loss {self.loss!r}; choose from {sorted(LOSSES)}")
+        self.d_loss_fn, self.g_loss_fn = LOSSES[self.loss]
+        self.tx = reference_adam(self.lr, *self.betas, self.weight_decay)
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, key) -> GANState:
+        k_gen, k_sample, k_img, k_vid = jax.random.split(key, 4)
+        gen_vars = self.gen.init({"params": k_gen, "sample": k_sample}, 2)
+
+        (videos, _), _ = self.gen.apply(
+            gen_vars, 2, method="sample_videos",
+            rngs={"sample": k_sample}, mutable=["batch_stats"])
+        (images, _), _ = self.gen.apply(
+            gen_vars, 2, method="sample_images",
+            rngs={"sample": k_sample}, mutable=["batch_stats"])
+
+        img_vars = self.dis_img.init({"params": k_img}, images)
+        vid_vars = self.dis_vid.init({"params": k_vid}, videos)
+
+        def net_state(variables):
+            return NetState(
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats", {}),
+                opt_state=self.tx.init(variables["params"]),
+                spectral=variables.get("spectral", None),
+            )
+
+        return GANState(
+            gen=net_state(gen_vars),
+            dis_img=net_state(img_vars),
+            dis_vid=net_state(vid_vars),
+            step=jnp.asarray(0, jnp.int32),
+            key=key,
+        )
+
+    # ------------------------------------------------------------- internals
+    def _sample(self, net: NetState, key, n: int, what: str):
+        """Generator sample in train mode; returns (tensor, refreshed NetState)."""
+        variables = {"params": net.params, "batch_stats": net.batch_stats}
+        (out, _), mut = self.gen.apply(
+            variables, n, method=what, rngs={"sample": key},
+            mutable=["batch_stats"])
+        return out, net.replace(batch_stats=mut["batch_stats"])
+
+    def _d_forward(self, mod, params, batch_stats, x, key):
+        variables = {"params": params, "batch_stats": batch_stats}
+        (logits, _), mut = mod.apply(
+            variables, x, mutable=["batch_stats"],
+            rngs={"noise": key})
+        return logits, mut["batch_stats"]
+
+    def _d_update(self, mod, d_state: NetState, real, fake, key) -> tuple:
+        k_noise_r, k_noise_f, k_gp, k_pnoise = jax.random.split(key, 4)
+
+        def loss_fn(params):
+            pr, bs1 = self._d_forward(mod, params, d_state.batch_stats, real, k_noise_r)
+            pf, bs2 = self._d_forward(mod, params, bs1, fake, k_noise_f)
+            loss = self.d_loss_fn(pr, pf)
+            if self.gp_weight > 0:
+                d_apply = lambda x: mod.apply(
+                    {"params": params, "batch_stats": bs2}, x, train=False)[0]
+                loss = loss + self.gp_weight * gradient_penalty(d_apply, real, fake, k_gp)
+            return loss, bs2
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_state.params)
+        updates, new_opt = self.tx.update(grads, d_state.opt_state, d_state.params)
+        new_params = optax.apply_updates(d_state.params, updates)
+        if self.param_noise_sigma > 0:
+            new_params = _add_param_noise(new_params, k_pnoise, self.param_noise_sigma)
+        return d_state.replace(params=new_params, batch_stats=new_bs,
+                               opt_state=new_opt), loss
+
+    def _g_update(self, state: GANState, key) -> tuple:
+        n = self.batch_size
+        k_vid, k_img, k_dv, k_di, k_pnoise = jax.random.split(key, 5)
+
+        def loss_fn(g_params):
+            g_net = state.gen.replace(params=g_params)
+            fake_vid, g_net = self._sample(g_net, k_vid, n, "sample_videos")
+            fake_img, g_net = self._sample(g_net, k_img, n, "sample_images")
+            pf_vid, dv_bs = self._d_forward(
+                self.dis_vid, state.dis_vid.params, state.dis_vid.batch_stats,
+                fake_vid, k_dv)
+            pf_img, di_bs = self._d_forward(
+                self.dis_img, state.dis_img.params, state.dis_img.batch_stats,
+                fake_img, k_di)
+            loss = self.g_loss_fn(pf_vid) + self.g_loss_fn(pf_img)
+            return loss, (g_net.batch_stats, dv_bs, di_bs)
+
+        (loss, (g_bs, dv_bs, di_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.gen.params)
+        updates, new_opt = self.tx.update(grads, state.gen.opt_state, state.gen.params)
+        new_params = optax.apply_updates(state.gen.params, updates)
+        if self.param_noise_sigma > 0:
+            new_params = _add_param_noise(new_params, k_pnoise, self.param_noise_sigma)
+        gen = state.gen.replace(params=new_params, batch_stats=g_bs, opt_state=new_opt)
+        dis_vid = state.dis_vid.replace(batch_stats=dv_bs)
+        dis_img = state.dis_img.replace(batch_stats=di_bs)
+        return state.replace(gen=gen, dis_vid=dis_vid, dis_img=dis_img), loss
+
+    # ------------------------------------------------------------------ step
+    def train_step(self, state: GANState, images, videos, key):
+        """One full alternating step. images: (d_iters, B, H, W, C);
+        videos: (d_iters, B, T, H, W, C); key: fresh per-step PRNG key."""
+        n = self.batch_size
+        dis_img_loss = dis_vid_loss = jnp.asarray(0.0)
+
+        for i in range(self.d_iters):
+            k = jax.random.fold_in(key, i)
+            k_si, k_di, k_sv, k_dv = jax.random.split(k, 4)
+
+            # image discriminator: real batch vs no-grad fake images
+            fake_img, gen_net = self._sample(state.gen, k_si, n, "sample_images")
+            fake_img = jax.lax.stop_gradient(fake_img)
+            state = state.replace(gen=gen_net)
+            new_di, dis_img_loss = self._d_update(
+                self.dis_img, state.dis_img, images[i], fake_img, k_di)
+            state = state.replace(dis_img=new_di)
+
+            # video discriminator: real clips vs no-grad fake videos
+            fake_vid, gen_net = self._sample(state.gen, k_sv, n, "sample_videos")
+            fake_vid = jax.lax.stop_gradient(fake_vid)
+            state = state.replace(gen=gen_net)
+            new_dv, dis_vid_loss = self._d_update(
+                self.dis_vid, state.dis_vid, videos[i], fake_vid, k_dv)
+            state = state.replace(dis_vid=new_dv)
+
+        state, gen_loss = self._g_update(state, jax.random.fold_in(key, 1000))
+        state = state.replace(step=state.step + 1)
+        metrics = {
+            "dis_img_loss": dis_img_loss,
+            "dis_vid_loss": dis_vid_loss,
+            "gen_loss": gen_loss,
+        }
+        return state, metrics
+
+    def jitted_step(self, donate: bool = True):
+        return jax.jit(self.train_step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,119 @@
+"""One-step end-to-end training tests (the 'dry_run' smoke mode the reference only
+had in its CIFAR notebook, SURVEY.md §4), on tiny models for CPU speed."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ganode_tpu.models import (
+    PatchImageDiscriminator,
+    VideoDiscriminator,
+    make_generator,
+)
+from ganode_tpu.train import GANTrainer, bce_logits
+
+
+B, T = 4, 8
+NGF = 8
+
+
+def _tiny_trainer(**kwargs):
+    gen = make_generator("ode", n_channels=1, trunk="mnist28", video_length=T,
+                         dim_z_content=10, dim_z_motion=4, ngf=NGF)
+    defaults = dict(batch_size=B, d_iters=2)
+    defaults.update(kwargs)
+    return GANTrainer(
+        gen=gen,
+        dis_img=PatchImageDiscriminator(ndf=NGF),
+        dis_vid=VideoDiscriminator(ksize=2, ndf=NGF),
+        **defaults,
+    )
+
+
+def _fake_batches(key, d_iters=2):
+    k1, k2 = jax.random.split(key)
+    images = jax.random.uniform(k1, (d_iters, B, 28, 28, 1), minval=-1, maxval=1)
+    videos = jax.random.uniform(k2, (d_iters, B, T, 28, 28, 1), minval=-1, maxval=1)
+    return images, videos
+
+
+def test_bce_matches_torch():
+    torch = pytest.importorskip("torch")
+    logits = np.random.RandomState(0).randn(7).astype(np.float32)
+    for target in (0.0, 1.0):
+        expected = torch.nn.BCEWithLogitsLoss()(
+            torch.tensor(logits), torch.full((7,), target)).item()
+        got = float(bce_logits(jnp.asarray(logits), target))
+        np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+class TestTrainStep:
+    def test_one_step_updates_everything(self):
+        trainer = _tiny_trainer()
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        images, videos = _fake_batches(jax.random.PRNGKey(1))
+        new_state, metrics = trainer.train_step(state, images, videos,
+                                                jax.random.PRNGKey(2))
+
+        for name in ("dis_img_loss", "dis_vid_loss", "gen_loss"):
+            assert np.isfinite(float(metrics[name])), name
+        assert int(new_state.step) == 1
+
+        def changed(old, new):
+            return any(
+                not np.allclose(a, b)
+                for a, b in zip(jax.tree.leaves(old), jax.tree.leaves(new)))
+
+        assert changed(state.gen.params, new_state.gen.params)
+        assert changed(state.dis_img.params, new_state.dis_img.params)
+        assert changed(state.dis_vid.params, new_state.dis_vid.params)
+        # BatchNorm stats advanced on generator and discriminators
+        assert changed(state.gen.batch_stats, new_state.gen.batch_stats)
+        assert changed(state.dis_vid.batch_stats, new_state.dis_vid.batch_stats)
+
+    def test_step_is_deterministic_in_key(self):
+        trainer = _tiny_trainer()
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        images, videos = _fake_batches(jax.random.PRNGKey(1))
+        s1, m1 = trainer.train_step(state, images, videos, jax.random.PRNGKey(5))
+        s2, m2 = trainer.train_step(state, images, videos, jax.random.PRNGKey(5))
+        np.testing.assert_allclose(float(m1["gen_loss"]), float(m2["gen_loss"]),
+                                   rtol=1e-6)
+        l1 = jax.tree.leaves(s1.gen.params)
+        l2 = jax.tree.leaves(s2.gen.params)
+        for a, b in zip(l1, l2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_jitted_step_runs(self):
+        trainer = _tiny_trainer(d_iters=1)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        images, videos = _fake_batches(jax.random.PRNGKey(1), d_iters=1)
+        step = trainer.jitted_step(donate=False)
+        new_state, metrics = step(state, images, videos, jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["gen_loss"]))
+        # second call reuses the compiled program
+        new_state, _ = step(new_state, images, videos, jax.random.PRNGKey(3))
+        assert int(new_state.step) == 2
+
+    def test_wasserstein_with_param_noise(self):
+        # the wgan variant config: Wasserstein losses + parameter noise
+        # (mnist_moco_ode_wgan.py:30-35,96-98)
+        trainer = _tiny_trainer(loss="wasserstein", param_noise_sigma=1e-4,
+                                d_iters=1)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        images, videos = _fake_batches(jax.random.PRNGKey(1), d_iters=1)
+        new_state, metrics = trainer.train_step(state, images, videos,
+                                                jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["dis_img_loss"]))
+
+    def test_wgan_gp(self):
+        trainer = _tiny_trainer(loss="wasserstein", gp_weight=10.0, d_iters=1)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        images, videos = _fake_batches(jax.random.PRNGKey(1), d_iters=1)
+        new_state, metrics = trainer.train_step(state, images, videos,
+                                                jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["dis_vid_loss"]))
+
+    def test_unknown_loss_rejected(self):
+        with pytest.raises(ValueError):
+            _tiny_trainer(loss="nonsense")
