@@ -1,0 +1,40 @@
+"""Data layer: rotated-MNIST builder/samplers, UCF101 offline pack + samplers,
+clip-consistent keyed transforms, device prefetch."""
+from . import transforms
+from .loader import make_global_batch, prefetch
+from .rotmnist import (
+    RotMNISTImages,
+    RotMNISTVideos,
+    build_rotmnist,
+    load_mnist_idx,
+    load_rotmnist,
+    rotate_videos,
+)
+from .ucf101 import (
+    PackedVideoDataset,
+    UCF101ClipSampler,
+    UCF101ImageSampler,
+    pack_arrays,
+    pack_ucf101,
+    parse_class_index,
+    parse_split,
+)
+
+__all__ = [
+    "PackedVideoDataset",
+    "RotMNISTImages",
+    "RotMNISTVideos",
+    "UCF101ClipSampler",
+    "UCF101ImageSampler",
+    "build_rotmnist",
+    "load_mnist_idx",
+    "load_rotmnist",
+    "make_global_batch",
+    "pack_arrays",
+    "pack_ucf101",
+    "parse_class_index",
+    "parse_split",
+    "prefetch",
+    "rotate_videos",
+    "transforms",
+]

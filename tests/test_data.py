@@ -1,0 +1,264 @@
+"""Data-layer tests: rotated-MNIST builder semantics, packed UCF101 round trip,
+keyed samplers, clip-consistent transforms."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ganode_tpu.data import (
+    PackedVideoDataset,
+    RotMNISTImages,
+    RotMNISTVideos,
+    UCF101ClipSampler,
+    UCF101ImageSampler,
+    build_rotmnist,
+    load_rotmnist,
+    pack_arrays,
+    prefetch,
+    rotate_videos,
+    transforms,
+)
+
+
+def _fake_digits(n=8, seed=0):
+    rng = np.random.RandomState(seed)
+    imgs = np.full((n, 28, 28), -0.5, np.float32)
+    for i in range(n):
+        y, x = rng.randint(6, 18, 2)
+        imgs[i, y:y + 6, x:x + 6] = 0.5  # a bright square to rotate
+    labels = rng.randint(0, 10, n)
+    return imgs, labels
+
+
+class TestRotMNIST:
+    def test_builder_shapes_and_range(self):
+        imgs, labels = _fake_digits()
+        X, Y = rotate_videos(imgs, labels, num_frames=16)
+        assert X.shape == (8, 16, 784)
+        assert Y.shape == (8,)
+        assert X.min() >= 0.0 and X.max() <= 1.0 + 1e-6
+
+    def test_normal_mode_rotates(self):
+        imgs, labels = _fake_digits(2)
+        X, _ = rotate_videos(imgs, labels, num_frames=16, mode="normal")
+        # frame 0 (angle 0) differs from frame 4 (angle ~90) for an off-center blob
+        assert not np.allclose(X[0, 0], X[0, 4])
+
+    @pytest.mark.parametrize("mode", ["rand-end", "rsre"])
+    def test_random_modes_seeded(self, mode):
+        imgs, labels = _fake_digits(3)
+        X1, _ = rotate_videos(imgs, labels, mode=mode, seed=5)
+        X2, _ = rotate_videos(imgs, labels, mode=mode, seed=5)
+        X3, _ = rotate_videos(imgs, labels, mode=mode, seed=6)
+        np.testing.assert_array_equal(X1, X2)
+        assert not np.allclose(X1, X3)
+
+    def test_bad_mode(self):
+        imgs, labels = _fake_digits(1)
+        with pytest.raises(ValueError):
+            rotate_videos(imgs, labels, mode="spiral")
+
+    def test_build_load_roundtrip(self, tmp_path):
+        imgs, labels = _fake_digits(12)
+        path = str(tmp_path / "rot.npz")
+        build_rotmnist(path, imgs, labels, num_frames=16)
+        train, y_train = load_rotmnist(path, train=True, split=10)
+        test, y_test = load_rotmnist(path, train=False, split=10)
+        assert train.shape == (10, 16, 28, 28, 1)
+        assert test.shape == (2, 16, 28, 28, 1)
+
+    def test_digit_filter(self, tmp_path):
+        imgs, labels = _fake_digits(20)
+        labels = np.arange(20) % 10
+        path = str(tmp_path / "rot3.npz")
+        build_rotmnist(path, imgs, labels, digits=(3,))
+        X, Y = load_rotmnist(path, train=True, split=1)
+        assert np.all(Y == 3)
+
+    def test_samplers(self, tmp_path):
+        imgs, labels = _fake_digits(12)
+        path = str(tmp_path / "rot.npz")
+        build_rotmnist(path, imgs, labels)
+        videos, y = load_rotmnist(path, train=True, split=12)
+
+        vs = RotMNISTVideos(videos, y, batch_size=4)
+        batch, lbl = vs.sample(jax.random.PRNGKey(0))
+        assert batch.shape == (4, 16, 28, 28, 1)
+        b2, _ = vs.sample(jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(batch, b2)  # key-deterministic
+
+        ims = RotMNISTImages(videos, y, batch_size=4)
+        frames, lbl = ims.sample(jax.random.PRNGKey(1))
+        assert frames.shape == (4, 28, 28, 1)
+
+    def test_value_range_rescale(self, tmp_path):
+        imgs, labels = _fake_digits(4)
+        path = str(tmp_path / "rot.npz")
+        build_rotmnist(path, imgs, labels)
+        videos, y = load_rotmnist(path, train=True, split=4)
+        vs = RotMNISTVideos(videos, y, batch_size=2, value_range=(-1.0, 1.0))
+        batch, _ = vs.sample(jax.random.PRNGKey(0))
+        assert batch.min() < -0.5  # rescaled out of [0, 1]
+
+
+def _fake_pack(tmp_path, lengths=(30, 20, 16, 40), size=64):
+    rng = np.random.RandomState(0)
+    videos = [rng.randint(0, 255, (t, size, size, 3), dtype=np.uint8)
+              for t in lengths]
+    labels = list(range(len(lengths)))
+    pack_dir = str(tmp_path / "pack")
+    pack_arrays(pack_dir, videos, labels, image_size=size)
+    return pack_dir, videos
+
+
+class TestUCF101Pack:
+    def test_roundtrip(self, tmp_path):
+        pack_dir, videos = _fake_pack(tmp_path)
+        ds = PackedVideoDataset(pack_dir)
+        assert len(ds) == 4
+        np.testing.assert_array_equal(ds.clip(1, 3, 5), videos[1][3:8])
+        np.testing.assert_array_equal(ds.frame(2, 10), videos[2][10])
+
+    def test_clip_sampler(self, tmp_path):
+        pack_dir, _ = _fake_pack(tmp_path)
+        s = UCF101ClipSampler(pack_dir, batch_size=6, n_frame=16)
+        clips, labels = s.sample(jax.random.PRNGKey(0))
+        assert clips.shape == (6, 16, 64, 64, 3)
+        assert clips.dtype == np.float32
+        assert clips.min() >= -1.0 and clips.max() <= 1.0
+        c2, _ = s.sample(jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(clips, c2)
+
+    def test_short_videos_excluded(self, tmp_path):
+        pack_dir, _ = _fake_pack(tmp_path, lengths=(10, 30))
+        s = UCF101ClipSampler(pack_dir, batch_size=4, n_frame=16)
+        # only video 1 is eligible; all sampled labels must be 1
+        _, labels = s.sample(jax.random.PRNGKey(0))
+        assert np.all(labels == 1)
+
+    def test_all_too_short_raises(self, tmp_path):
+        pack_dir, _ = _fake_pack(tmp_path, lengths=(4, 8))
+        with pytest.raises(ValueError):
+            UCF101ClipSampler(pack_dir, batch_size=2, n_frame=16)
+
+    def test_image_sampler(self, tmp_path):
+        pack_dir, _ = _fake_pack(tmp_path)
+        s = UCF101ImageSampler(pack_dir, batch_size=5)
+        frames, labels = s.sample(jax.random.PRNGKey(2))
+        assert frames.shape == (5, 64, 64, 3)
+
+    def test_host_sharding_disjoint(self, tmp_path):
+        pack_dir, _ = _fake_pack(tmp_path, lengths=(20, 20, 20, 20, 20, 20))
+        s0 = UCF101ClipSampler(pack_dir, batch_size=4, host_id=0, host_count=2)
+        s1 = UCF101ClipSampler(pack_dir, batch_size=4, host_id=1, host_count=2)
+        assert set(s0.eligible).isdisjoint(set(s1.eligible))
+        assert set(s0.eligible) | set(s1.eligible) == set(range(6))
+
+    def test_prefetch(self, tmp_path):
+        pack_dir, _ = _fake_pack(tmp_path)
+        s = UCF101ClipSampler(pack_dir, batch_size=2, n_frame=16)
+        it = prefetch(s.iterate(jax.random.PRNGKey(0)), size=2)
+        batches = [next(it) for _ in range(3)]
+        assert batches[0][0].shape == (2, 16, 64, 64, 3)
+
+
+class TestTransforms:
+    def test_flip_consistent_across_frames(self):
+        clip = jnp.asarray(np.random.RandomState(0).rand(8, 16, 16, 3))
+        # find a key that flips
+        for seed in range(10):
+            out = transforms.random_horizontal_flip(jax.random.PRNGKey(seed), clip, p=1.0)
+            np.testing.assert_allclose(out, clip[:, :, ::-1, :])
+            break
+
+    def test_random_crop_same_window_all_frames(self):
+        clip = jnp.asarray(np.random.RandomState(0).rand(4, 20, 20, 1))
+        out = transforms.random_crop(jax.random.PRNGKey(3), clip, 8)
+        assert out.shape == (4, 8, 8, 1)
+        # the window must be identical across frames: check against manual search
+        full = np.asarray(clip)
+        got = np.asarray(out)
+        found = False
+        for y in range(13):
+            for x in range(13):
+                if np.allclose(full[:, y:y + 8, x:x + 8, :], got):
+                    found = True
+        assert found
+
+    def test_temporal_random_crop_pads_short(self):
+        clip = jnp.asarray(np.arange(3 * 2 * 2).reshape(3, 2, 2, 1).astype(float))
+        out = transforms.temporal_random_crop(jax.random.PRNGKey(0), clip, 8)
+        assert out.shape[0] == 8
+        np.testing.assert_array_equal(out[3], out[0])  # loop padding
+
+    def test_per_clip_batched_independent(self):
+        batch = jnp.asarray(np.random.RandomState(0).rand(16, 4, 8, 8, 1))
+        out = transforms.per_clip(
+            lambda k, c: transforms.random_horizontal_flip(k, c, 0.5),
+            jax.random.PRNGKey(0), batch)
+        flipped = [not np.allclose(out[i], batch[i]) for i in range(16)]
+        assert any(flipped) and not all(flipped)  # some flip, some don't
+
+    def test_corner_and_center_crop(self):
+        clip = jnp.asarray(np.random.RandomState(0).rand(2, 10, 10, 1))
+        for pos in ("c", "tl", "tr", "bl", "br"):
+            out = transforms.corner_crop(clip, 6, pos)
+            assert out.shape == (2, 6, 6, 1)
+        assert transforms.center_crop(clip, 6).shape == (2, 6, 6, 1)
+
+    def test_multi_scale_random_crop(self):
+        clip = jnp.asarray(np.random.RandomState(0).rand(4, 32, 32, 3))
+        out = transforms.multi_scale_random_crop(jax.random.PRNGKey(1), clip, 16)
+        assert out.shape == (4, 16, 16, 3)
+
+    def test_normalize(self):
+        clip = jnp.ones((2, 4, 4, 3))
+        out = transforms.normalize(clip, mean=(1.0, 1.0, 1.0), std=(2.0, 2.0, 2.0))
+        np.testing.assert_allclose(out, 0.0)
+
+
+class TestVideoDecodePack:
+    """End-to-end pack from real encoded video files (synthetic AVIs)."""
+
+    @pytest.fixture()
+    def ucf_tree(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        root = tmp_path / "ucf"
+        (root / "videos" / "Clap").mkdir(parents=True)
+        (root / "videos" / "Jump").mkdir(parents=True)
+        (root / "annotations").mkdir()
+        rng = np.random.RandomState(0)
+
+        def write(rel, frames):
+            path = str(root / "videos" / rel)
+            w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 25,
+                                (320, 240))
+            for _ in range(frames):
+                w.write(rng.randint(0, 255, (240, 320, 3), dtype=np.uint8))
+            w.release()
+
+        write("Clap/v1.avi", 30)
+        write("Clap/v2.avi", 8)    # too short, must be skipped
+        write("Jump/v3.avi", 25)
+        (root / "annotations" / "classInd.txt").write_text(
+            "1 Clap\n2 Jump\n")
+        (root / "annotations" / "trainlist01.txt").write_text(
+            "Clap/v1.avi 1\nClap/v2.avi 1\nJump/v3.avi 2\n")
+        return str(root)
+
+    def test_pack_and_sample(self, ucf_tree, tmp_path):
+        from ganode_tpu.data import pack_ucf101
+
+        out = pack_ucf101(ucf_tree, str(tmp_path / "packed"), train=True,
+                          fold=1, progress=False)
+        ds = PackedVideoDataset(out)
+        assert len(ds) == 2              # the 8-frame video was skipped
+        assert set(ds.labels) == {1, 2}
+        assert ds.frames.shape[1:] == (64, 64, 3)
+
+        s = UCF101ClipSampler(out, batch_size=3, n_frame=16)
+        clips, labels = s.sample(jax.random.PRNGKey(0))
+        assert clips.shape == (3, 16, 64, 64, 3)
+        assert np.isfinite(clips).all()
