@@ -91,7 +91,34 @@ class MNISTTrunk28(nn.Module):
         return jnp.tanh(h)
 
 
-TRUNKS = {"dcgan64": DCGANTrunk64, "mnist28": MNISTTrunk28}
+class DCGANTrunk128(nn.Module):
+    """z (B', 1, 1, dim_z) -> frames (B', 128, 128, n_channels) in [-1, 1].
+
+    New capability for the north-star WGAN-GP @ 128x128 config (BASELINE.md) —
+    one more doubling stage than the reference's 64x64 trunk.
+    """
+
+    n_channels: int
+    ngf: int = 64
+
+    @nn.compact
+    def __call__(self, z, *, train: bool = True):
+        h = _deconv(z, self.ngf * 16, 4, 1, 0)           # 1 -> 4
+        h = nn.relu(_bn(h, train))
+        h = _deconv(h, self.ngf * 8)                      # 4 -> 8
+        h = nn.relu(_bn(h, train))
+        h = _deconv(h, self.ngf * 4)                      # 8 -> 16
+        h = nn.relu(_bn(h, train))
+        h = _deconv(h, self.ngf * 2)                      # 16 -> 32
+        h = nn.relu(_bn(h, train))
+        h = _deconv(h, self.ngf)                          # 32 -> 64
+        h = nn.relu(_bn(h, train))
+        h = _deconv(h, self.n_channels)                   # 64 -> 128
+        return jnp.tanh(h)
+
+
+TRUNKS = {"dcgan64": DCGANTrunk64, "mnist28": MNISTTrunk28,
+          "dcgan128": DCGANTrunk128}
 
 
 class VideoGenerator(nn.Module):

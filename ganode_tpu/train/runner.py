@@ -1,0 +1,203 @@
+"""Config -> trainer/data assembly and the training driver loop.
+
+The glue the reference spread across seven near-identical scripts: build models
+from an ExperimentConfig, wire data samplers, run the jitted step loop with
+logging / GIF sampling / checkpointing at the reference's cadences.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..data import (
+    RotMNISTImages,
+    RotMNISTVideos,
+    UCF101ClipSampler,
+    UCF101ImageSampler,
+    load_rotmnist,
+)
+from ..models import (
+    ImageDiscriminator,
+    PatchImageDiscriminator,
+    VideoDiscriminator,
+    make_generator,
+)
+from ..utils.config import ExperimentConfig
+from ..utils.gifs import save_sample_grid
+from ..utils.metrics import MetricsLogger, Throughput
+from .gan import GANTrainer
+
+
+def build_trainer(config: ExperimentConfig) -> GANTrainer:
+    gen = make_generator(
+        config.variant,
+        n_channels=config.n_channels,
+        trunk=config.trunk,
+        dim_z_content=config.dim_z_content,
+        dim_z_category=config.dim_z_category,
+        dim_z_motion=config.dim_z_motion,
+        video_length=config.video_length,
+        ngf=config.ngf,
+    )
+    if config.image_disc == "patch":
+        dis_img = PatchImageDiscriminator(ndf=config.ndf)
+    else:
+        dis_img = ImageDiscriminator(ndf=config.ndf)
+    dis_vid = VideoDiscriminator(ksize=config.video_disc_ksize, ndf=config.ndf)
+    return GANTrainer(
+        gen=gen, dis_img=dis_img, dis_vid=dis_vid,
+        batch_size=config.batch_size, d_iters=config.d_iters,
+        loss=config.loss, lr=config.lr, betas=config.betas,
+        weight_decay=config.weight_decay,
+        param_noise_sigma=config.param_noise_sigma,
+        gp_weight=config.gp_weight,
+    )
+
+
+def synthetic_rotmnist(config: ExperimentConfig, n_videos: int = 64,
+                       seed: int = 0):
+    """Synthetic rotated-square videos with the real dataset's geometry — for
+    dry runs and benches when no dataset file is present."""
+    from ..data.rotmnist import rotate_videos
+
+    rng = np.random.RandomState(seed)
+    imgs = np.full((n_videos, 28, 28), -0.5, np.float32)
+    for i in range(n_videos):
+        y, x = rng.randint(4, 18, 2)
+        imgs[i, y:y + 8, x:x + 8] = 0.5
+    labels = rng.randint(0, 10, n_videos)
+    X, Y = rotate_videos(imgs, labels, num_frames=config.video_length)
+    return X.reshape(-1, config.video_length, 28, 28, 1), Y
+
+
+def synthetic_ucf(config: ExperimentConfig, n_videos: int = 16, seed: int = 0):
+    size = 128 if config.trunk == "dcgan128" else 64
+    rng = np.random.RandomState(seed)
+    videos = rng.randint(0, 255, (n_videos, config.video_length + 8, size, size,
+                                  config.n_channels), dtype=np.uint8)
+    videos = (videos.astype(np.float32) - 128.0) / 128.0
+    return videos, rng.randint(0, 101, n_videos)
+
+
+def build_data(config: ExperimentConfig, *, synthetic: bool = False):
+    """Returns (image_sampler, video_sampler) with .sample(key) methods."""
+    if config.dataset == "rotmnist":
+        if synthetic or not os.path.exists(config.data_path):
+            if not synthetic:
+                raise FileNotFoundError(
+                    f"dataset not found at {config.data_path}; build it with "
+                    "scripts/build_rotmnist.py or pass synthetic=True")
+            videos, labels = synthetic_rotmnist(config)
+        else:
+            videos, labels = load_rotmnist(
+                config.data_path, train=True, num_frames=config.video_length)
+        return (RotMNISTImages(videos, labels, config.batch_size),
+                RotMNISTVideos(videos, labels, config.batch_size))
+    if config.dataset == "ucf101":
+        if synthetic or not os.path.exists(config.data_path):
+            if not synthetic:
+                raise FileNotFoundError(
+                    f"packed UCF101 not found at {config.data_path}; pack it "
+                    "with scripts/pack_ucf101.py or pass synthetic=True")
+            videos, labels = synthetic_ucf(config)
+
+            class _Imgs:
+                def sample(self, key):
+                    k1, k2 = jax.random.split(key)
+                    i = np.asarray(jax.random.randint(k1, (config.batch_size,), 0,
+                                                      len(videos)))
+                    t = np.asarray(jax.random.randint(k2, (config.batch_size,), 0,
+                                                      videos.shape[1]))
+                    return videos[i, t], labels[i]
+
+            class _Vids:
+                def sample(self, key):
+                    k1, k2 = jax.random.split(key)
+                    i = np.asarray(jax.random.randint(k1, (config.batch_size,), 0,
+                                                      len(videos)))
+                    s = np.asarray(jax.random.randint(
+                        k2, (config.batch_size,), 0,
+                        videos.shape[1] - config.video_length + 1))
+                    return (np.stack([videos[ii, ss:ss + config.video_length]
+                                      for ii, ss in zip(i, s)]), labels[i])
+
+            return _Imgs(), _Vids()
+        return (UCF101ImageSampler(config.data_path, config.batch_size),
+                UCF101ClipSampler(config.data_path, config.batch_size,
+                                  n_frame=config.video_length))
+    raise ValueError(f"unknown dataset {config.dataset!r}")
+
+
+def _stack_d_batches(sampler, key, d_iters):
+    return np.stack([sampler.sample(jax.random.fold_in(key, i))[0]
+                     for i in range(d_iters)])
+
+
+def run_training(
+    config: ExperimentConfig,
+    workdir: str,
+    *,
+    steps: Optional[int] = None,
+    synthetic: bool = False,
+    resume: bool = False,
+    jit: bool = True,
+) -> Tuple[object, dict]:
+    """The reference's train() loop (mnist_moco_ode.py:51-195), config-driven."""
+    from ..utils.checkpoint import CheckpointManager
+
+    os.makedirs(workdir, exist_ok=True)
+    steps = steps if steps is not None else config.steps
+    trainer = build_trainer(config)
+    img_sampler, vid_sampler = build_data(config, synthetic=synthetic)
+
+    key = jax.random.PRNGKey(config.seed)
+    state = trainer.init_state(key)
+
+    ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
+    start_step = 0
+    if resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        start_step = int(state.step)
+
+    logger = MetricsLogger(os.path.join(workdir, "metrics.jsonl"),
+                           print_every=config.log_every)
+    throughput = Throughput(config.batch_size)
+    step_fn = trainer.jitted_step(donate=False) if jit else trainer.train_step
+
+    metrics = {}
+    throughput.start()
+    for step in range(start_step, steps):
+        k_step = jax.random.fold_in(key, step)
+        k_img, k_vid, k_train = jax.random.split(k_step, 3)
+        images = _stack_d_batches(img_sampler, k_img, config.d_iters)
+        videos = _stack_d_batches(vid_sampler, k_vid, config.d_iters)
+        state, metrics = step_fn(state, images, videos, k_train)
+        throughput.update()
+
+        if step % config.log_every == 0:
+            logger.log(step, metrics,
+                       extra={"clips_per_sec": throughput.clips_per_sec_per_chip()})
+        if config.sample_every and step % config.sample_every == 0:
+            _write_samples(trainer, state, os.path.join(
+                workdir, "samples", f"gensamples_id{step}.gif"), config)
+        if config.checkpoint_every and step % config.checkpoint_every == 0:
+            ckpt.save(step, state)
+
+    ckpt.save(steps, state, wait=True)
+    logger.close()
+    return state, {k: float(v) for k, v in metrics.items()}
+
+
+def _write_samples(trainer: GANTrainer, state, path: str,
+                   config: ExperimentConfig, n: int = 8):
+    """8x8 grid GIF in eval mode (the reference flips g.eval()/g.train() around
+    sampling, mnist_moco_ode.py:32-35)."""
+    variables = {"params": state.gen.params, "batch_stats": state.gen.batch_stats}
+    (videos, _) = trainer.gen.apply(
+        variables, n * n, method="sample_videos",
+        rngs={"sample": jax.random.PRNGKey(int(state.step))}, train=False)
+    save_sample_grid(path, np.asarray(videos), n=n)
+    return path

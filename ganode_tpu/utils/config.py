@@ -1,0 +1,131 @@
+"""Experiment configs: one dataclass per README variant.
+
+The reference encoded every experiment as a ~200-line script differing by 3-10
+lines from its siblings (reference mnist_moco_{ode,sde,cde,ode_rnn,ode_wgan,
+ode_noise}.py, ucf_moco_ode.py — SURVEY.md §2.3 #8-14), with all hyperparameters
+hard-coded as module constants. Here an experiment is data: a frozen dataclass
+you construct, tweak, and hand to the runner in scripts/.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str
+    # model
+    variant: str = "ode"              # gru | ode | sde | cde | ode_rnn
+    trunk: str = "mnist28"            # mnist28 | dcgan64 | dcgan128
+    n_channels: int = 1
+    dim_z_content: int = 50
+    dim_z_category: int = 0
+    dim_z_motion: int = 16
+    video_length: int = 16
+    ngf: int = 64
+    ndf: int = 64
+    video_disc_ksize: int = 2
+    image_disc: str = "patch"         # patch | full
+    # training (reference mnist_moco_ode.py:13-14,86-89,111)
+    steps: int = 100_000
+    batch_size: int = 32
+    d_iters: int = 2
+    lr: float = 2e-4
+    betas: Tuple[float, float] = (0.5, 0.999)
+    weight_decay: float = 1e-5
+    loss: str = "bce"                 # bce | wasserstein | hinge
+    param_noise_sigma: float = 0.0
+    gp_weight: float = 0.0
+    # data
+    dataset: str = "rotmnist"         # rotmnist | ucf101
+    data_path: str = "data/rot-mnist.npz"
+    digits: Optional[Tuple[int, ...]] = None
+    # io cadence (reference mnist_moco_ode.py:164-182)
+    log_every: int = 100
+    sample_every: int = 1000
+    checkpoint_every: int = 1000
+    seed: int = 0
+
+
+def mnist_ode(**kw) -> ExperimentConfig:
+    """mnist_moco_ode.py: VideoGeneratorMNIST(1, 50, 0, 16, 16), d_iters=2, BCE."""
+    return ExperimentConfig(name="mnist_ode", variant="ode", **kw)
+
+
+def mnist_sde(**kw) -> ExperimentConfig:
+    return ExperimentConfig(name="mnist_sde", variant="sde", **kw)
+
+
+def mnist_cde(**kw) -> ExperimentConfig:
+    return ExperimentConfig(name="mnist_cde", variant="cde", **kw)
+
+
+def mnist_ode_rnn(**kw) -> ExperimentConfig:
+    return ExperimentConfig(name="mnist_ode_rnn", variant="ode_rnn", **kw)
+
+
+def mnist_gru(**kw) -> ExperimentConfig:
+    return ExperimentConfig(name="mnist_gru", variant="gru", **kw)
+
+
+def mnist_ode_wgan(**kw) -> ExperimentConfig:
+    """mnist_moco_ode_wgan.py: Wasserstein losses + param noise 1e-4 on the
+    3s-only dataset — the reference's documented failure case."""
+    kw.setdefault("loss", "wasserstein")
+    kw.setdefault("param_noise_sigma", 1e-4)
+    kw.setdefault("digits", (3,))
+    return ExperimentConfig(name="mnist_ode_wgan", variant="ode", **kw)
+
+
+def mnist_ode_noise(**kw) -> ExperimentConfig:
+    """mnist_moco_ode_noise.py: BCE + param noise 1e-5, 3s-only."""
+    kw.setdefault("param_noise_sigma", 1e-5)
+    kw.setdefault("digits", (3,))
+    return ExperimentConfig(name="mnist_ode_noise", variant="ode", **kw)
+
+
+def ucf_ode(**kw) -> ExperimentConfig:
+    """ucf_moco_ode.py: 3-channel 64x64 clips, full VideoDiscriminator ksize=4."""
+    kw.setdefault("trunk", "dcgan64")
+    kw.setdefault("n_channels", 3)
+    kw.setdefault("video_disc_ksize", 4)
+    kw.setdefault("dataset", "ucf101")
+    kw.setdefault("data_path", "data/ucf101-pack")
+    kw.setdefault("sample_every", 100)
+    kw.setdefault("checkpoint_every", 100)
+    return ExperimentConfig(name="ucf_ode", variant="ode", **kw)
+
+
+def ucf_wgan_gp_128(**kw) -> ExperimentConfig:
+    """North-star new config: WGAN-GP at 128x128 / 32 frames — the stabilized
+    version of the variant the reference could not train (BASELINE.md)."""
+    kw.setdefault("trunk", "dcgan128")
+    kw.setdefault("n_channels", 3)
+    kw.setdefault("video_length", 32)
+    kw.setdefault("video_disc_ksize", 4)
+    kw.setdefault("loss", "wasserstein")
+    kw.setdefault("gp_weight", 10.0)
+    kw.setdefault("d_iters", 5)
+    kw.setdefault("dataset", "ucf101")
+    kw.setdefault("data_path", "data/ucf101-pack-128")
+    return ExperimentConfig(name="ucf_wgan_gp_128", variant="ode", **kw)
+
+
+CONFIGS = {
+    "mnist_ode": mnist_ode,
+    "mnist_sde": mnist_sde,
+    "mnist_cde": mnist_cde,
+    "mnist_ode_rnn": mnist_ode_rnn,
+    "mnist_gru": mnist_gru,
+    "mnist_ode_wgan": mnist_ode_wgan,
+    "mnist_ode_noise": mnist_ode_noise,
+    "ucf_ode": ucf_ode,
+    "ucf_wgan_gp_128": ucf_wgan_gp_128,
+}
+
+
+def get_config(name: str, **overrides) -> ExperimentConfig:
+    if name not in CONFIGS:
+        raise ValueError(f"unknown config {name!r}; choose from {sorted(CONFIGS)}")
+    return CONFIGS[name](**overrides)

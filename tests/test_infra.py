@@ -1,0 +1,209 @@
+"""Infra tests: checkpoint round trip, GIF grids, metrics, configs, runner smoke."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ganode_tpu.utils.config import CONFIGS, get_config
+from ganode_tpu.utils.gifs import save_sample_grid, video_grid, write_gif
+from ganode_tpu.utils.metrics import MetricsLogger
+
+
+class TestConfig:
+    def test_all_reference_variants_present(self):
+        # one config per README variant + UCF + the new 128 config (SURVEY.md §5.6)
+        for name in ("mnist_ode", "mnist_sde", "mnist_cde", "mnist_ode_rnn",
+                     "mnist_gru", "mnist_ode_wgan", "mnist_ode_noise",
+                     "ucf_ode", "ucf_wgan_gp_128"):
+            assert name in CONFIGS
+
+    def test_reference_hyperparameters(self):
+        c = get_config("mnist_ode")
+        assert (c.steps, c.batch_size, c.d_iters) == (100_000, 32, 2)
+        assert (c.lr, c.betas, c.weight_decay) == (2e-4, (0.5, 0.999), 1e-5)
+        assert c.video_disc_ksize == 2 and c.trunk == "mnist28"
+
+    def test_wgan_config(self):
+        c = get_config("mnist_ode_wgan")
+        assert c.loss == "wasserstein"
+        assert c.param_noise_sigma == 1e-4
+        assert c.digits == (3,)
+
+    def test_ucf_config(self):
+        c = get_config("ucf_ode")
+        assert c.trunk == "dcgan64" and c.n_channels == 3
+        assert c.video_disc_ksize == 4
+        assert c.sample_every == 100  # reference ucf cadence
+
+    def test_northstar_config(self):
+        c = get_config("ucf_wgan_gp_128")
+        assert c.trunk == "dcgan128" and c.video_length == 32
+        assert c.gp_weight > 0
+
+    def test_override_and_unknown(self):
+        c = get_config("mnist_ode", batch_size=8)
+        assert c.batch_size == 8
+        with pytest.raises(ValueError):
+            get_config("nope")
+
+
+class TestGifs:
+    def test_video_grid_layout(self):
+        videos = np.zeros((4, 3, 8, 8, 1), np.float32)
+        videos[0] += 1.0  # top-left cell white
+        grid = video_grid(videos, n=2)
+        assert grid.shape == (3, 16, 16, 1)
+        assert grid[0, 0, 0, 0] == 255
+        assert grid[0, 15, 15, 0] == 127  # (0+1)/2*255 for the zero cells
+
+    def test_write_gif(self, tmp_path):
+        frames = np.random.randint(0, 255, (5, 16, 16, 3), np.uint8)
+        path = write_gif(str(tmp_path / "t.gif"), frames)
+        assert os.path.getsize(path) > 0
+
+    def test_save_sample_grid_end_to_end(self, tmp_path):
+        videos = np.random.uniform(-1, 1, (9, 4, 8, 8, 1)).astype(np.float32)
+        path = save_sample_grid(str(tmp_path / "grid.gif"), videos, n=3)
+        from PIL import Image
+        im = Image.open(path)
+        assert im.size == (24, 24)
+        assert im.n_frames == 4
+
+
+class TestMetrics:
+    def test_jsonl_roundtrip(self, tmp_path):
+        path = str(tmp_path / "m.jsonl")
+        logger = MetricsLogger(path, print_every=0)
+        logger.log(0, {"gen_loss": jnp.asarray(1.5)})
+        logger.log(100, {"gen_loss": 1.2}, extra={"clips_per_sec": 100.0})
+        logger.close()
+        lines = [json.loads(l) for l in open(path)]
+        assert lines[0]["gen_loss"] == 1.5
+        assert lines[1]["clips_per_sec"] == 100.0
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        from ganode_tpu.utils.checkpoint import CheckpointManager
+        from ganode_tpu.models import make_generator, PatchImageDiscriminator, VideoDiscriminator
+        from ganode_tpu.train import GANTrainer
+
+        gen = make_generator("ode", n_channels=1, trunk="mnist28",
+                             video_length=8, dim_z_content=4, dim_z_motion=4,
+                             ngf=8)
+        tr = GANTrainer(gen=gen, dis_img=PatchImageDiscriminator(ndf=8),
+                        dis_vid=VideoDiscriminator(ksize=2, ndf=8),
+                        batch_size=2, d_iters=1)
+        state = tr.init_state(jax.random.PRNGKey(0))
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        assert mgr.latest_step() is None
+        mgr.save(0, state, wait=True)
+        assert mgr.latest_step() == 0
+
+        restored = mgr.restore(state)
+        for a, b in zip(jax.tree.leaves(state.gen.params),
+                        jax.tree.leaves(restored.gen.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        mgr.close()
+
+    def test_restore_missing_raises(self, tmp_path):
+        from ganode_tpu.utils.checkpoint import CheckpointManager
+        mgr = CheckpointManager(str(tmp_path / "empty"))
+        with pytest.raises(FileNotFoundError):
+            mgr.restore({"x": jnp.zeros(2)})
+
+
+class TestRunner:
+    def test_two_step_synthetic_mnist_run(self, tmp_path):
+        """The reference's dry_run smoke mode, end to end: data -> steps ->
+        metrics.jsonl -> sample GIF -> checkpoint."""
+        from ganode_tpu.train.runner import run_training
+        from ganode_tpu.utils.config import get_config
+
+        config = get_config(
+            "mnist_ode", batch_size=2,
+        )
+        config = config.__class__(**{
+            **config.__dict__, "video_length": 8, "ngf": 8, "ndf": 8,
+            "dim_z_content": 4, "dim_z_motion": 4, "d_iters": 1,
+            "sample_every": 2, "checkpoint_every": 2, "log_every": 1,
+        })
+        workdir = str(tmp_path / "run")
+        state, metrics = run_training(config, workdir, steps=2, synthetic=True,
+                                      jit=False)
+        assert int(state.step) == 2
+        assert os.path.exists(os.path.join(workdir, "metrics.jsonl"))
+        assert os.path.exists(os.path.join(workdir, "samples",
+                                           "gensamples_id0.gif"))
+        assert all(np.isfinite(v) for v in metrics.values())
+
+    def test_missing_dataset_raises(self, tmp_path):
+        from ganode_tpu.train.runner import build_data
+        from ganode_tpu.utils.config import get_config
+        config = get_config("mnist_ode", data_path=str(tmp_path / "absent.npz"))
+        with pytest.raises(FileNotFoundError):
+            build_data(config, synthetic=False)
+
+
+class TestParallel:
+    def test_mesh_and_sharding(self):
+        from ganode_tpu.parallel import data_sharding, make_mesh, shard_batch
+
+        assert len(jax.devices()) == 8  # conftest virtual devices
+        mesh = make_mesh(8, ("data",))
+        batch = np.zeros((2, 16, 4, 4, 1), np.float32)
+        sharded = shard_batch(batch, mesh, batch_axis=1)
+        assert sharded.sharding.spec[1] == "data"
+
+    def test_dp_step_matches_single_device(self):
+        """The same jitted step on a 1-device and an 8-device mesh must agree —
+        GSPMD parallelization is semantics-preserving."""
+        from ganode_tpu.models import (
+            PatchImageDiscriminator, VideoDiscriminator, make_generator)
+        from ganode_tpu.parallel import make_mesh, make_parallel_step
+        from ganode_tpu.train import GANTrainer
+
+        T = 8
+        gen = make_generator("ode", n_channels=1, trunk="mnist28",
+                             video_length=T, dim_z_content=4, dim_z_motion=4,
+                             ngf=8)
+        tr = GANTrainer(gen=gen, dis_img=PatchImageDiscriminator(ndf=8),
+                        dis_vid=VideoDiscriminator(ksize=2, ndf=8),
+                        batch_size=16, d_iters=1)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        images = rng.uniform(-1, 1, (1, 16, 28, 28, 1)).astype(np.float32)
+        videos = rng.uniform(-1, 1, (1, 16, T, 28, 28, 1)).astype(np.float32)
+        key = jax.random.PRNGKey(1)
+
+        # single device
+        s1, m1 = jax.jit(tr.train_step)(state, images, videos, key)
+
+        # 8-device DP
+        mesh = make_mesh(8, ("data",))
+        step, place_state, place_batch = make_parallel_step(tr, mesh, donate=False)
+        st = place_state(state)
+        im, vi = place_batch(images, videos)
+        s8, m8 = step(st, im, vi, key)
+
+        np.testing.assert_allclose(float(m1["gen_loss"]), float(m8["gen_loss"]),
+                                   rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(s1.gen.params),
+                        jax.tree.leaves(s8.gen.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+
+    def test_tp_param_sharding(self):
+        from ganode_tpu.parallel import make_mesh, shard_params_tp
+
+        mesh = make_mesh(8, ("data", "model"), shape=(4, 2))
+        params = {"big": np.zeros((4, 4, 64, 128), np.float32),
+                  "small": np.zeros((3,), np.float32)}
+        sharded = shard_params_tp(params, mesh, min_elements=1 << 10)
+        assert sharded["big"].sharding.spec[-1] == "model"
+        # small params replicated
+        assert all(s is None for s in sharded["small"].sharding.spec)
