@@ -1,0 +1,84 @@
+"""Feature extractors for IS / FVD: a small image classifier and a 3-D video
+embedder, trainable in-package (no pretrained weights are fetchable in this
+offline environment; for publication-grade FVD swap in I3D features).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+
+class ImageClassifier(nn.Module):
+    """Small conv net -> class probabilities; the IS backbone for rotated-MNIST."""
+
+    n_classes: int = 10
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        for feats in (32, 64):
+            x = nn.Conv(feats, (3, 3), strides=(2, 2))(x)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(128)(x))
+        return nn.Dense(self.n_classes)(x)
+
+
+class VideoEmbedder(nn.Module):
+    """3-D conv tower -> (B, feature_dim) embeddings; the FVD feature function.
+    Input (B, T, H, W, C)."""
+
+    feature_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        for feats in (32, 64, 128):
+            x = nn.Conv(feats, (3, 3, 3), strides=(1, 2, 2))(x)
+            x = nn.relu(x)
+        x = jnp.mean(x, axis=(1, 2, 3))  # global average pool over T, H, W
+        return nn.Dense(self.feature_dim)(x)
+
+
+def train_classifier(images: np.ndarray, labels: np.ndarray, *,
+                     n_classes: int = 10, steps: int = 500,
+                     batch_size: int = 64, lr: float = 1e-3, seed: int = 0):
+    """Quick supervised fit; returns (model, params, accuracy_on_train_tail)."""
+    model = ImageClassifier(n_classes=n_classes)
+    key = jax.random.PRNGKey(seed)
+    params = model.init(key, jnp.zeros((1,) + images.shape[1:]))["params"]
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+    images = jnp.asarray(images)
+    labels = jnp.asarray(labels)
+
+    @jax.jit
+    def step(params, opt_state, xb, yb):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, xb)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, yb).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    n = images.shape[0]
+    for i in range(steps):
+        idx = jax.random.randint(jax.random.fold_in(key, i), (batch_size,), 0, n)
+        params, opt_state, loss = step(params, opt_state, images[idx], labels[idx])
+
+    logits = model.apply({"params": params}, images[:512])
+    acc = float(jnp.mean(jnp.argmax(logits, -1) == labels[:512]))
+    return model, params, acc
+
+
+def embed_videos(model: VideoEmbedder, params, videos: np.ndarray,
+                 batch_size: int = 32) -> np.ndarray:
+    feats = []
+    apply = jax.jit(lambda v: model.apply({"params": params}, v))
+    for i in range(0, len(videos), batch_size):
+        feats.append(np.asarray(apply(jnp.asarray(videos[i:i + batch_size]))))
+    return np.concatenate(feats)

@@ -1,0 +1,141 @@
+"""Pallas TPU kernel: the entire RK4 motion-latent solve fused into one kernel.
+
+The reference launches the solver RHS (Linear -> tanh -> Linear,
+reference models/mocogan_ode.py:10-14) 60 times per forward through torchdiffeq
+(4 stages x 15 intervals), each a separate CUDA kernel round trip. Here the whole
+trajectory — all stages, all intervals, the output stack — runs inside a single
+Pallas kernel: state and both weight matrices live in VMEM for the entire solve,
+the two GEMMs per stage hit the MXU back-to-back, and HBM sees exactly one read
+of the inputs and one write of the (T, B, D) trajectory.
+
+Layout: the latent dim D (16) is zero-padded to the 128-lane boundary; the batch
+rides the sublane dimension. Zero padding is self-consistent through the MLP
+(tanh(0)=0 and zero-padded weight columns/rows keep padded lanes at zero), so no
+masking is needed.
+
+Gradients: forward runs the kernel; backward rematerializes through the identical
+pure-JAX solve (``jax.vjp`` of :func:`reference_rk4_motion`) — the discrete
+adjoint of the very same arithmetic, so gradients match the kernel's forward to
+numerical precision while the backward stays autodiff-exact.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _pad_to(x, n, axis):
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def reference_rk4_motion(x, w1, b1, w2, b2, ts):
+    """Pure-JAX ground truth: rk4 over the ts grid on f(y) = tanh(y@w1+b1)@w2+b2.
+    Returns (T, B, D). Used for the kernel's backward pass and its tests."""
+    def rhs(y):
+        return jnp.tanh(y @ w1 + b1) @ w2 + b2
+
+    def interval(y, t_pair):
+        t0, t1 = t_pair
+        h = t1 - t0
+        k1 = rhs(y)
+        k2 = rhs(y + 0.5 * h * k1)
+        k3 = rhs(y + 0.5 * h * k2)
+        k4 = rhs(y + h * k3)
+        y1 = y + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        return y1, y1
+
+    _, tail = jax.lax.scan(interval, x, (ts[:-1], ts[1:]))
+    return jnp.concatenate([x[None], tail], axis=0)
+
+
+def _rk4_kernel(n_out: int, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, h_ref,
+                out_ref):
+    """One grid step = the whole solve for one batch tile."""
+    w1 = w1_ref[:]
+    b1 = b1_ref[:]
+    w2 = w2_ref[:]
+    b2 = b2_ref[:]
+    h = h_ref[0]
+
+    def rhs(y):
+        a = jnp.dot(y, w1, preferred_element_type=jnp.float32) + b1
+        return jnp.dot(jnp.tanh(a), w2, preferred_element_type=jnp.float32) + b2
+
+    y = x_ref[:]
+    out_ref[0] = y
+    for i in range(n_out - 1):
+        k1 = rhs(y)
+        k2 = rhs(y + 0.5 * h * k1)
+        k3 = rhs(y + 0.5 * h * k2)
+        k4 = rhs(y + h * k3)
+        y = y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        out_ref[i + 1] = y
+
+
+def _fused_forward(x, w1, b1, w2, b2, ts, *, interpret):
+    b, d = x.shape
+    n_out = int(ts.shape[0])
+    dp = max(LANE, ((d + LANE - 1) // LANE) * LANE)
+    # batch tile: round up to the f32 sublane quantum
+    bt = max(8, ((b + 7) // 8) * 8)
+
+    xp = _pad_to(_pad_to(x, bt, 0), dp, 1)
+    w1p = _pad_to(_pad_to(w1, dp, 0), dp, 1)
+    w2p = _pad_to(_pad_to(w2, dp, 0), dp, 1)
+    b1p = _pad_to(b1, dp, 0).reshape(1, dp)
+    b2p = _pad_to(b2, dp, 0).reshape(1, dp)
+    # uniform-grid step (the reference always integrates linspace grids)
+    h = (ts[1] - ts[0]).astype(jnp.float32).reshape(1)
+
+    out = pl.pallas_call(
+        partial(_rk4_kernel, n_out),
+        out_shape=jax.ShapeDtypeStruct((n_out, bt, dp), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b2
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # h
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xp, w1p, b1p, w2p, b2p, h)
+    return out[:, :b, :d]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_rk4_motion(x, w1, b1, w2, b2, ts, interpret: bool = False):
+    """RK4 solve of f(y)=tanh(y@w1+b1)@w2+b2 over the uniform grid ts, fully
+    fused in one Pallas TPU kernel. Returns the trajectory (T, B, D).
+
+    ``interpret=True`` runs the kernel in interpreter mode (CPU testing).
+    """
+    return _fused_forward(x, w1, b1, w2, b2, ts, interpret=interpret)
+
+
+def _fwd(x, w1, b1, w2, b2, ts, interpret):
+    out = _fused_forward(x, w1, b1, w2, b2, ts, interpret=interpret)
+    return out, (x, w1, b1, w2, b2, ts)
+
+
+def _bwd(interpret, residuals, g):
+    x, w1, b1, w2, b2, ts = residuals
+    _, vjp = jax.vjp(lambda *a: reference_rk4_motion(*a, ts), x, w1, b1, w2, b2)
+    dx, dw1, db1, dw2, db2 = vjp(g)
+    return dx, dw1, db1, dw2, db2, jnp.zeros_like(ts)
+
+
+fused_rk4_motion.defvjp(_fwd, _bwd)

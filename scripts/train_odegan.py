@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Stage-2 experiment: train a small image GAN with the ODE-GAN trainer
+(optimizer-as-ODE, euler/rk2/rk4 in parameter space).
+
+Reproduces the reference's stage-2 notebook protocol
+(reference stage2/test_ODE_training_with_MNIST_GAN.ipynb: MLP generator
+100 -> 256 -> 512 -> 1024 -> 784 tanh, MLP discriminator with dropout-free
+leaky-relu trunk here, fixed seed, euler/rk2/rk4 vs Adam comparison) as a CLI.
+
+  python scripts/train_odegan.py --method rk4 --steps 200 --cpu
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--method", default="rk4", choices=["euler", "rk2", "rk4"])
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=0.02)
+    p.add_argument("--reg", type=float, default=0.01)
+    p.add_argument("--d-iter", type=int, default=1)
+    p.add_argument("--seed", type=int, default=97382)  # the notebook's seed
+    p.add_argument("--workdir", default="runs/odegan")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on synthetic blobs instead of rotated-MNIST frames")
+    p.add_argument("--data", default="data/rot-mnist.npz")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from ganode_tpu.train import ODEGANTrainer, bce_logits
+
+    class MLPGen(nn.Module):
+        @nn.compact
+        def __call__(self, z):
+            for w in (256, 512, 1024):
+                z = nn.leaky_relu(nn.Dense(w)(z), 0.2)
+            return jnp.tanh(nn.Dense(784)(z))
+
+    class MLPDisc(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for w in (512, 256):
+                x = nn.leaky_relu(nn.Dense(w)(x), 0.2)
+            return nn.Dense(1)(x).squeeze(-1)
+
+    key = jax.random.PRNGKey(args.seed)
+    gen, disc = MLPGen(), MLPDisc()
+    g_params = gen.init(key, jnp.zeros((1, 100)))["params"]
+    d_params = disc.init(jax.random.fold_in(key, 1), jnp.zeros((1, 784)))["params"]
+    all_params = {"gen": g_params, "dis_img": d_params, "dis_vid": None}
+
+    # data: flattened frames in [-1, 1]
+    if args.synthetic or not os.path.exists(args.data):
+        rng = np.random.RandomState(0)
+        flat = np.full((2048, 784), -1.0, np.float32)
+        for i in range(2048):
+            y, x = rng.randint(0, 20, 2)
+            img = flat[i].reshape(28, 28)
+            img[y:y + 8, x:x + 8] = 1.0
+        data = jnp.asarray(flat)
+    else:
+        from ganode_tpu.data import load_rotmnist
+        videos, _ = load_rotmnist(args.data, train=True)
+        data = jnp.asarray(videos.reshape(-1, 784) * 2.0 - 1.0)
+
+    B = args.batch_size
+
+    def g_loss(params, key_, batch):
+        z = jax.random.normal(jax.random.fold_in(key_, 1), (B, 100))
+        fake = gen.apply({"params": params["gen"]}, z)
+        logits = disc.apply({"params": params["dis_img"]}, fake)
+        return bce_logits(logits, 1.0)
+
+    def d_loss(params, key_, batch):
+        z = jax.random.normal(jax.random.fold_in(key_, 2), (B, 100))
+        fake = gen.apply({"params": params["gen"]}, z)
+        pf = disc.apply({"params": params["dis_img"]}, fake)
+        pr = disc.apply({"params": params["dis_img"]}, batch)
+        return bce_logits(pr, 1.0) + bce_logits(pf, 0.0)
+
+    trainer = ODEGANTrainer(g_loss=g_loss, d_img_loss=d_loss, lr=args.lr,
+                            reg=args.reg, method=args.method,
+                            d_iter=args.d_iter)
+
+    d_step = jax.jit(lambda p, k, b: trainer.step(p, k, b, model="dis_img"))
+    g_step = jax.jit(lambda p, k: trainer.step(p, k, model="gen"))
+    losses = []
+    os.makedirs(args.workdir, exist_ok=True)
+    for step in range(args.steps):
+        k = jax.random.fold_in(key, 10_000 + step)
+        idx = jax.random.randint(jax.random.fold_in(k, 0), (B,), 0, len(data))
+        batch = data[idx]
+        for i in range(args.d_iter):
+            all_params = d_step(all_params, jax.random.fold_in(k, 100 + i), batch)
+        all_params = g_step(all_params, jax.random.fold_in(k, 200))
+        if step % 20 == 0:
+            gl = float(g_loss(all_params, k, None))
+            dl = float(d_loss(all_params, k, batch))
+            losses.append({"step": step, "g_loss": gl, "d_loss": dl})
+            print(f"step {step}: G {gl:.4f} D {dl:.4f}", flush=True)
+
+    with open(os.path.join(args.workdir, f"losses_{args.method}.json"), "w") as f:
+        json.dump(losses, f)
+    print(f"done; losses -> {args.workdir}/losses_{args.method}.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Pallas kernel tests (interpret mode on CPU): fused solves vs pure-JAX ground
+truth, gradient agreement."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ganode_tpu.ops import (
+    fused_gru_motion,
+    fused_rk4_motion,
+    reference_gru_motion,
+    reference_rk4_motion,
+)
+
+
+def _rk4_inputs(b=32, d=16, t=16, seed=0):
+    k = jax.random.PRNGKey(seed)
+    ks = jax.random.split(k, 5)
+    x = jax.random.normal(ks[0], (b, d))
+    w1 = jax.random.normal(ks[1], (d, d)) * 0.4
+    b1 = jax.random.normal(ks[2], (d,)) * 0.1
+    w2 = jax.random.normal(ks[3], (d, d)) * 0.4
+    b2 = jax.random.normal(ks[4], (d,)) * 0.1
+    ts = jnp.linspace(0.0, 1.0, t)
+    return x, w1, b1, w2, b2, ts
+
+
+class TestFusedRK4:
+    def test_matches_reference_impl(self):
+        args = _rk4_inputs()
+        got = fused_rk4_motion(*args, True)
+        want = reference_rk4_motion(*args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_matches_solver_core(self):
+        from ganode_tpu.ode import odeint
+        x, w1, b1, w2, b2, ts = _rk4_inputs(b=4, t=8)
+        got = fused_rk4_motion(x, w1, b1, w2, b2, ts, True)
+        want = odeint(
+            lambda t, y, p: jnp.tanh(y @ p[0] + p[1]) @ p[2] + p[3],
+            x, ts, (w1, b1, w2, b2), method="rk4")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_odd_batch_and_dim_padding(self):
+        args = _rk4_inputs(b=5, d=10, t=6)
+        got = fused_rk4_motion(*args, True)
+        want = reference_rk4_motion(*args)
+        assert got.shape == (6, 5, 10)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_gradients_match(self):
+        x, w1, b1, w2, b2, ts = _rk4_inputs(b=4, t=8)
+
+        def loss_fused(w1_, w2_):
+            return jnp.sum(fused_rk4_motion(x, w1_, b1, w2_, b2, ts, True) ** 2)
+
+        def loss_ref(w1_, w2_):
+            return jnp.sum(reference_rk4_motion(x, w1_, b1, w2_, b2, ts) ** 2)
+
+        g1 = jax.grad(loss_fused, argnums=(0, 1))(w1, w2)
+        g2 = jax.grad(loss_ref, argnums=(0, 1))(w1, w2)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_jittable(self):
+        args = _rk4_inputs(b=8, t=4)
+        f = jax.jit(lambda *a: fused_rk4_motion(*a, True))
+        out = f(*args)
+        assert out.shape == (4, 8, 16)
+
+
+class TestFusedGRU:
+    def _inputs(self, b=16, d=16, t=8, seed=0):
+        k = jax.random.PRNGKey(seed)
+        ks = jax.random.split(k, 6)
+        h0 = jax.random.normal(ks[0], (b, d))
+        e = jax.random.normal(ks[1], (t, b, d))
+        wi = jax.random.normal(ks[2], (d, 3 * d)) * 0.3
+        wh = jax.random.normal(ks[3], (d, 3 * d)) * 0.3
+        bi = jax.random.normal(ks[4], (3 * d,)) * 0.1
+        bh = jax.random.normal(ks[5], (3 * d,)) * 0.1
+        return h0, e, wi, wh, bi, bh
+
+    def test_matches_reference_impl(self):
+        args = self._inputs()
+        got = fused_gru_motion(*args, True)
+        want = reference_gru_motion(*args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_matches_nn_gru_cell(self):
+        from ganode_tpu.nn import GRUCell
+        h0, e, wi, wh, bi, bh = self._inputs(b=3, t=5)
+        cell = GRUCell(16)
+        params = {"wi": wi, "wh": wh, "bi": bi, "bh": bh}
+        h = h0
+        outs = []
+        for t in range(5):
+            h = cell.apply({"params": params}, h, e[t])
+            outs.append(h)
+        want = jnp.stack(outs)
+        got = fused_gru_motion(h0, e, wi, wh, bi, bh, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_padding(self):
+        args = self._inputs(b=7, d=12, t=4)
+        got = fused_gru_motion(*args, True)
+        want = reference_gru_motion(*args)
+        assert got.shape == (4, 7, 12)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_gradients_match(self):
+        h0, e, wi, wh, bi, bh = self._inputs(b=4, t=4)
+
+        g1 = jax.grad(lambda w: jnp.sum(
+            fused_gru_motion(h0, e, w, wh, bi, bh, True) ** 2))(wi)
+        g2 = jax.grad(lambda w: jnp.sum(
+            reference_gru_motion(h0, e, w, wh, bi, bh) ** 2))(wi)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-6)
