@@ -1,6 +1,7 @@
 """Data layer: rotated-MNIST builder/samplers, UCF101 offline pack + samplers,
 clip-consistent keyed transforms, device prefetch."""
 from . import transforms
+from .frames import FrameFolderVideos, ImageFolderSampler, get_mean, get_std
 from .loader import make_global_batch, prefetch
 from .rotmnist import (
     RotMNISTImages,
@@ -21,7 +22,11 @@ from .ucf101 import (
 )
 
 __all__ = [
+    "FrameFolderVideos",
+    "ImageFolderSampler",
     "PackedVideoDataset",
+    "get_mean",
+    "get_std",
     "RotMNISTImages",
     "RotMNISTVideos",
     "UCF101ClipSampler",

@@ -30,6 +30,7 @@ def make_generator(
     video_length: int = 16,
     trunk: str = "dcgan64",
     ngf: int = 64,
+    dtype=None,
     **motion_kwargs,
 ) -> VideoGenerator:
     """Build the generator for a README variant.
@@ -37,6 +38,8 @@ def make_generator(
     variant: gru | ode | sde | cde | ode_rnn — mirrors the per-file subclasses of
     the reference (models/mocogan{,_ode,_sde,_cde,_ode_rnn}.py) as one ctor.
     """
+    import jax.numpy as jnp
+
     motion = make_motion_sampler(variant, dim_z_motion, **motion_kwargs)
     return VideoGenerator(
         motion=motion,
@@ -47,6 +50,7 @@ def make_generator(
         video_length=video_length,
         ngf=ngf,
         trunk=trunk,
+        dtype=dtype or jnp.float32,
     )
 
 

@@ -21,7 +21,7 @@ Trunks:
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -33,19 +33,25 @@ from ..nn.layers import Noise, leaky_relu
 _conv_init = nn.initializers.normal(0.02)
 
 
-def _deconv(x, features, kernel=4, stride=2, torch_padding=1, name=None):
-    """ConvTranspose with torch (k, s, p) semantics: out = (in-1)*s - 2p + k."""
+def _deconv(x, features, kernel=4, stride=2, torch_padding=1, name=None,
+            dtype=None):
+    """ConvTranspose with torch (k, s, p) semantics: out = (in-1)*s - 2p + k.
+
+    ``dtype`` is the compute dtype (bfloat16 for mixed precision on the MXU);
+    parameters always stay float32.
+    """
     pad = kernel - 1 - torch_padding
     return nn.ConvTranspose(
         features, (kernel, kernel), strides=(stride, stride),
         padding=((pad, pad), (pad, pad)), use_bias=False, kernel_init=_conv_init,
-        name=name,
+        name=name, dtype=dtype, param_dtype=jnp.float32,
     )(x)
 
 
-def _bn(x, train: bool, name=None):
+def _bn(x, train: bool, name=None, dtype=None):
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, name=name)(x)
+                        epsilon=1e-5, name=name, dtype=dtype,
+                        param_dtype=jnp.float32)(x)
 
 
 class DCGANTrunk64(nn.Module):
@@ -53,19 +59,21 @@ class DCGANTrunk64(nn.Module):
 
     n_channels: int
     ngf: int = 64
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z, *, train: bool = True):
-        h = _deconv(z, self.ngf * 8, 4, 1, 0)            # 1 -> 4
-        h = nn.relu(_bn(h, train))
-        h = _deconv(h, self.ngf * 4)                      # 4 -> 8
-        h = nn.relu(_bn(h, train))
-        h = _deconv(h, self.ngf * 2)                      # 8 -> 16
-        h = nn.relu(_bn(h, train))
-        h = _deconv(h, self.ngf)                          # 16 -> 32
-        h = nn.relu(_bn(h, train))
-        h = _deconv(h, self.n_channels)                   # 32 -> 64
-        return jnp.tanh(h)
+        dt = self.dtype
+        h = _deconv(z.astype(dt), self.ngf * 8, 4, 1, 0, dtype=dt)  # 1 -> 4
+        h = nn.relu(_bn(h, train, dtype=dt))
+        h = _deconv(h, self.ngf * 4, dtype=dt)            # 4 -> 8
+        h = nn.relu(_bn(h, train, dtype=dt))
+        h = _deconv(h, self.ngf * 2, dtype=dt)            # 8 -> 16
+        h = nn.relu(_bn(h, train, dtype=dt))
+        h = _deconv(h, self.ngf, dtype=dt)                # 16 -> 32
+        h = nn.relu(_bn(h, train, dtype=dt))
+        h = _deconv(h, self.n_channels, dtype=dt)         # 32 -> 64
+        return jnp.tanh(h).astype(jnp.float32)
 
 
 class MNISTTrunk28(nn.Module):
@@ -73,22 +81,25 @@ class MNISTTrunk28(nn.Module):
 
     n_channels: int
     ngf: int = 64
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z, *, train: bool = True):
-        h = _deconv(z, self.ngf * 8, 4, 1, 0)            # 1 -> 4
-        h = nn.relu(_bn(h, train))
-        h = _deconv(h, self.ngf * 4)                      # 4 -> 8
-        h = nn.relu(_bn(h, train))
-        h = _deconv(h, self.ngf * 2)                      # 8 -> 16
-        h = nn.relu(_bn(h, train))
-        h = _deconv(h, self.ngf)                          # 16 -> 32
-        h = nn.relu(_bn(h, train))
+        dt = self.dtype
+        h = _deconv(z.astype(dt), self.ngf * 8, 4, 1, 0, dtype=dt)  # 1 -> 4
+        h = nn.relu(_bn(h, train, dtype=dt))
+        h = _deconv(h, self.ngf * 4, dtype=dt)            # 4 -> 8
+        h = nn.relu(_bn(h, train, dtype=dt))
+        h = _deconv(h, self.ngf * 2, dtype=dt)            # 8 -> 16
+        h = nn.relu(_bn(h, train, dtype=dt))
+        h = _deconv(h, self.ngf, dtype=dt)                # 16 -> 32
+        h = nn.relu(_bn(h, train, dtype=dt))
         # ConvTranspose2d(k=1, s=1, p=2) == 1x1 conv then crop 2 px per side.
         h = nn.Conv(self.n_channels, (1, 1), use_bias=False,
-                    kernel_init=_conv_init)(h)
+                    kernel_init=_conv_init, dtype=dt,
+                    param_dtype=jnp.float32)(h)
         h = h[:, 2:-2, 2:-2, :]                           # 32 -> 28
-        return jnp.tanh(h)
+        return jnp.tanh(h).astype(jnp.float32)
 
 
 class DCGANTrunk128(nn.Module):
@@ -100,21 +111,23 @@ class DCGANTrunk128(nn.Module):
 
     n_channels: int
     ngf: int = 64
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z, *, train: bool = True):
-        h = _deconv(z, self.ngf * 16, 4, 1, 0)           # 1 -> 4
-        h = nn.relu(_bn(h, train))
-        h = _deconv(h, self.ngf * 8)                      # 4 -> 8
-        h = nn.relu(_bn(h, train))
-        h = _deconv(h, self.ngf * 4)                      # 8 -> 16
-        h = nn.relu(_bn(h, train))
-        h = _deconv(h, self.ngf * 2)                      # 16 -> 32
-        h = nn.relu(_bn(h, train))
-        h = _deconv(h, self.ngf)                          # 32 -> 64
-        h = nn.relu(_bn(h, train))
-        h = _deconv(h, self.n_channels)                   # 64 -> 128
-        return jnp.tanh(h)
+        dt = self.dtype
+        h = _deconv(z.astype(dt), self.ngf * 16, 4, 1, 0, dtype=dt)  # 1 -> 4
+        h = nn.relu(_bn(h, train, dtype=dt))
+        h = _deconv(h, self.ngf * 8, dtype=dt)            # 4 -> 8
+        h = nn.relu(_bn(h, train, dtype=dt))
+        h = _deconv(h, self.ngf * 4, dtype=dt)            # 8 -> 16
+        h = nn.relu(_bn(h, train, dtype=dt))
+        h = _deconv(h, self.ngf * 2, dtype=dt)            # 16 -> 32
+        h = nn.relu(_bn(h, train, dtype=dt))
+        h = _deconv(h, self.ngf, dtype=dt)                # 32 -> 64
+        h = nn.relu(_bn(h, train, dtype=dt))
+        h = _deconv(h, self.n_channels, dtype=dt)         # 64 -> 128
+        return jnp.tanh(h).astype(jnp.float32)
 
 
 TRUNKS = {"dcgan64": DCGANTrunk64, "mnist28": MNISTTrunk28,
@@ -138,9 +151,11 @@ class VideoGenerator(nn.Module):
     video_length: int = 16
     ngf: int = 64
     trunk: str = "dcgan64"
+    dtype: Any = jnp.float32  # trunk compute dtype (bfloat16 for mixed precision)
 
     def setup(self):
-        self.main = TRUNKS[self.trunk](self.n_channels, self.ngf)
+        self.main = TRUNKS[self.trunk](self.n_channels, self.ngf,
+                                       dtype=self.dtype)
 
     def sample_z_video(self, n: int, video_len: int, *, train: bool = True):
         """Per-frame latents (n*video_len, dim_z) + category labels (or None)."""
@@ -215,16 +230,18 @@ class VideoGenerator(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def _conv2d(x, features, k=4, s=2, p=1):
+def _conv2d(x, features, k=4, s=2, p=1, dtype=None):
     return nn.Conv(features, (k, k), strides=(s, s), padding=((p, p), (p, p)),
-                   use_bias=False, kernel_init=_conv_init)(x)
+                   use_bias=False, kernel_init=_conv_init, dtype=dtype,
+                   param_dtype=jnp.float32)(x)
 
 
-def _conv3d(x, features, k, s, p):
+def _conv3d(x, features, k, s, p, dtype=None):
     """k, s, p are (t, h, w) triples; input NTHWC."""
     return nn.Conv(features, tuple(k), strides=tuple(s),
                    padding=tuple((pi, pi) for pi in p),
-                   use_bias=False, kernel_init=_conv_init)(x)
+                   use_bias=False, kernel_init=_conv_init, dtype=dtype,
+                   param_dtype=jnp.float32)(x)
 
 
 class ImageDiscriminator(nn.Module):
@@ -233,16 +250,18 @@ class ImageDiscriminator(nn.Module):
     ndf: int = 64
     use_noise: bool = False
     noise_sigma: float | None = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
+        dt = self.dtype
         noise = lambda h: Noise(self.use_noise, self.noise_sigma or 0.0)(h)
-        h = leaky_relu(_conv2d(noise(x), self.ndf))
-        h = leaky_relu(_bn(_conv2d(noise(h), self.ndf * 2), train))
-        h = leaky_relu(_bn(_conv2d(noise(h), self.ndf * 4), train))
-        h = leaky_relu(_bn(_conv2d(noise(h), self.ndf * 8), train))
-        h = _conv2d(h, 1, k=4, s=1, p=0)
-        return jnp.squeeze(h), None
+        h = leaky_relu(_conv2d(noise(x.astype(dt)), self.ndf, dtype=dt))
+        h = leaky_relu(_bn(_conv2d(noise(h), self.ndf * 2, dtype=dt), train, dtype=dt))
+        h = leaky_relu(_bn(_conv2d(noise(h), self.ndf * 4, dtype=dt), train, dtype=dt))
+        h = leaky_relu(_bn(_conv2d(noise(h), self.ndf * 8, dtype=dt), train, dtype=dt))
+        h = _conv2d(h, 1, k=4, s=1, p=0, dtype=dt)
+        return jnp.squeeze(h).astype(jnp.float32), None
 
 
 class PatchImageDiscriminator(nn.Module):
@@ -252,15 +271,17 @@ class PatchImageDiscriminator(nn.Module):
     ndf: int = 64
     use_noise: bool = False
     noise_sigma: float | None = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
+        dt = self.dtype
         noise = lambda h: Noise(self.use_noise, self.noise_sigma or 0.0)(h)
-        h = leaky_relu(_conv2d(noise(x), self.ndf))
-        h = leaky_relu(_bn(_conv2d(noise(h), self.ndf * 2), train))
-        h = leaky_relu(_bn(_conv2d(noise(h), self.ndf * 4), train))
-        h = _conv2d(noise(h), 1)
-        return jnp.squeeze(h), None
+        h = leaky_relu(_conv2d(noise(x.astype(dt)), self.ndf, dtype=dt))
+        h = leaky_relu(_bn(_conv2d(noise(h), self.ndf * 2, dtype=dt), train, dtype=dt))
+        h = leaky_relu(_bn(_conv2d(noise(h), self.ndf * 4, dtype=dt), train, dtype=dt))
+        h = _conv2d(noise(h), 1, dtype=dt)
+        return jnp.squeeze(h).astype(jnp.float32), None
 
 
 class PatchVideoDiscriminator(nn.Module):
@@ -270,16 +291,18 @@ class PatchVideoDiscriminator(nn.Module):
     ndf: int = 64
     use_noise: bool = False
     noise_sigma: float | None = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
+        dt = self.dtype
         noise = lambda h: Noise(self.use_noise, self.noise_sigma or 0.0)(h)
         k, s, p = (4, 4, 4), (1, 2, 2), (0, 1, 1)
-        h = leaky_relu(_conv3d(noise(x), self.ndf, k, s, p))
-        h = leaky_relu(_bn(_conv3d(noise(h), self.ndf * 2, k, s, p), train))
-        h = leaky_relu(_bn(_conv3d(noise(h), self.ndf * 4, k, s, p), train))
-        h = _conv3d(h, 1, k, s, p)
-        return jnp.squeeze(h), None
+        h = leaky_relu(_conv3d(noise(x.astype(dt)), self.ndf, k, s, p, dtype=dt))
+        h = leaky_relu(_bn(_conv3d(noise(h), self.ndf * 2, k, s, p, dtype=dt), train, dtype=dt))
+        h = leaky_relu(_bn(_conv3d(noise(h), self.ndf * 4, k, s, p, dtype=dt), train, dtype=dt))
+        h = _conv3d(h, 1, k, s, p, dtype=dt)
+        return jnp.squeeze(h).astype(jnp.float32), None
 
 
 class VideoDiscriminator(nn.Module):
@@ -292,18 +315,20 @@ class VideoDiscriminator(nn.Module):
     ksize: int = 4
     use_noise: bool = False
     noise_sigma: float | None = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
+        dt = self.dtype
         noise = lambda h: Noise(self.use_noise, self.noise_sigma or 0.0)(h)
         k = (self.ksize,) * 3
         s, p = (1, 2, 2), (0, 1, 1)
-        h = leaky_relu(_conv3d(noise(x), self.ndf, k, s, p))
-        h = leaky_relu(_bn(_conv3d(noise(h), self.ndf * 2, k, s, p), train))
-        h = leaky_relu(_bn(_conv3d(noise(h), self.ndf * 4, k, s, p), train))
-        h = leaky_relu(_bn(_conv3d(noise(h), self.ndf * 8, k, s, p), train))
-        h = _conv3d(h, self.n_output_neurons, k, (1, 1, 1), (0, 0, 0))
-        return jnp.squeeze(h), None
+        h = leaky_relu(_conv3d(noise(x.astype(dt)), self.ndf, k, s, p, dtype=dt))
+        h = leaky_relu(_bn(_conv3d(noise(h), self.ndf * 2, k, s, p, dtype=dt), train, dtype=dt))
+        h = leaky_relu(_bn(_conv3d(noise(h), self.ndf * 4, k, s, p, dtype=dt), train, dtype=dt))
+        h = leaky_relu(_bn(_conv3d(noise(h), self.ndf * 8, k, s, p, dtype=dt), train, dtype=dt))
+        h = _conv3d(h, self.n_output_neurons, k, (1, 1, 1), (0, 0, 0), dtype=dt)
+        return jnp.squeeze(h).astype(jnp.float32), None
 
 
 class CategoricalVideoDiscriminator(nn.Module):
@@ -316,6 +341,7 @@ class CategoricalVideoDiscriminator(nn.Module):
     ksize: int = 4
     use_noise: bool = False
     noise_sigma: float | None = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
@@ -323,6 +349,7 @@ class CategoricalVideoDiscriminator(nn.Module):
             n_output_neurons=self.n_output_neurons + self.dim_categorical,
             ndf=self.ndf, ksize=self.ksize,
             use_noise=self.use_noise, noise_sigma=self.noise_sigma,
+            dtype=self.dtype,
         )
         h, _ = body(x, train=train)
         # h: (B, ..., n_out + dim_cat); split along the channel axis

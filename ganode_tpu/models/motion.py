@@ -27,9 +27,14 @@ from ..nn.layers import GRUCell, MLP, WarmupMLP
 class MotionGRU(nn.Module):
     """Baseline MoCoGAN recurrence: h_0 ~ N(0,I); h_t = GRU(e_t, h_{t-1}) with
     fresh per-step noise e_t ~ N(0,I); output [h_1..h_T]
-    (reference models/mocogan.py:217-229,297-301)."""
+    (reference models/mocogan.py:217-229,297-301).
+
+    ``use_pallas=True`` runs the whole recurrence inside one fused Pallas TPU
+    kernel (ganode_tpu.ops.fused_gru_motion) instead of a lax.scan.
+    """
 
     dim: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, n: int, video_len: int, *, train: bool = True):
@@ -38,8 +43,14 @@ class MotionGRU(nn.Module):
         h0 = jax.random.normal(k_h0, (n, self.dim))
         e = jax.random.normal(k_e, (video_len, n, self.dim))
 
-        cell = GRUCell(self.dim)
-        hs = _manual_scan(cell, h0, e)
+        cell = GRUCell(self.dim, name="gru")
+        if self.use_pallas and not self.is_initializing():
+            from ..ops import fused_gru_motion
+            p = _get_params(self, "gru")
+            hs = fused_gru_motion(h0, e, p["wi"], p["wh"], p["bi"], p["bh"],
+                                  jax.default_backend() != "tpu")
+        else:
+            hs = _manual_scan(cell, h0, e)
         return jnp.transpose(hs, (1, 0, 2))  # (n, T, dim)
 
 
@@ -75,9 +86,16 @@ class MotionODE(nn.Module):
     dim: int
     dim_hidden: int | None = None
     use_warmup: bool = True
-    method: str = "rk4"
+    method: str = "rk4"          # any fixed-grid method, or 'dopri5' (adaptive)
     steps_per_interval: int = 1
     adjoint: str = "checkpoint"  # 'checkpoint' | 'backsolve'
+    # adaptive (dopri5) tolerances — the north-star WGAN-GP config solves its
+    # motion latent adaptively (BASELINE.md)
+    rtol: float = 1e-5
+    atol: float = 1e-6
+    # Run the whole rk4 solve in one fused Pallas TPU kernel
+    # (ganode_tpu.ops.fused_rk4_motion; ~5x over the XLA scan on v5e).
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, n: int, video_len: int, *, train: bool = True):
@@ -91,9 +109,23 @@ class MotionODE(nn.Module):
             _ = field(x)  # materialize params outside the solver scan
 
         ts = jnp.linspace(0.0, 1.0, video_len)
+        if (self.use_pallas and self.method == "rk4"
+                and self.steps_per_interval == 1
+                and self.adjoint == "checkpoint"
+                and not self.is_initializing()):
+            from ..ops import fused_rk4_motion
+            p = _get_params(self, "ode_fn")
+            zs = fused_rk4_motion(
+                x, p["Dense_0"]["kernel"], p["Dense_0"]["bias"],
+                p["Dense_1"]["kernel"], p["Dense_1"]["bias"], ts,
+                jax.default_backend() != "tpu")
+            return jnp.transpose(zs, (1, 0, 2))
         params = {"field": _get_params(self, "ode_fn")}
         rhs = lambda t, y, p: field.apply({"params": p["field"]}, y)
-        if self.adjoint == "backsolve":
+        if self.method == "dopri5":
+            zs = ode.odeint_adaptive_adjoint(rhs, x, ts, params,
+                                             self.rtol, self.atol)
+        elif self.adjoint == "backsolve":
             zs = ode.odeint_backsolve(rhs, x, ts, params, self.method,
                                       self.steps_per_interval)
         else:

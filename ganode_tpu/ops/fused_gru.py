@@ -73,6 +73,9 @@ def _pad_gates(w, d, dp):
 
 
 def _fused_forward(h0, e, wi, wh, bi, bh, *, interpret):
+    # the kernel computes in f32 regardless of the ambient dtype (x64 mode etc.)
+    h0, e, wi, wh, bi, bh = (jnp.asarray(a, jnp.float32)
+                             for a in (h0, e, wi, wh, bi, bh))
     t, b, d = e.shape
     dp = max(LANE, ((d + LANE - 1) // LANE) * LANE)
     bt = max(8, ((b + 7) // 8) * 8)
@@ -111,8 +114,8 @@ def _fwd(h0, e, wi, wh, bi, bh, interpret):
 
 def _bwd(interpret, residuals, g):
     h0, e, wi, wh, bi, bh = residuals
-    _, vjp = jax.vjp(reference_gru_motion, h0, e, wi, wh, bi, bh)
-    return vjp(g)
+    out, vjp = jax.vjp(reference_gru_motion, h0, e, wi, wh, bi, bh)
+    return vjp(jnp.asarray(g, out.dtype))
 
 
 fused_gru_motion.defvjp(_fwd, _bwd)

@@ -85,16 +85,20 @@ def _rk4_kernel(n_out: int, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, h_ref,
 
 
 def _fused_forward(x, w1, b1, w2, b2, ts, *, interpret):
+    # the kernel computes in f32 regardless of the ambient dtype (x64 mode etc.)
+    x, w1, b1, w2, b2 = (jnp.asarray(a, jnp.float32) for a in (x, w1, b1, w2, b2))
     b, d = x.shape
+    h_dim = w1.shape[1]
     n_out = int(ts.shape[0])
-    dp = max(LANE, ((d + LANE - 1) // LANE) * LANE)
+    rup = lambda n: max(LANE, ((n + LANE - 1) // LANE) * LANE)
+    dp, hp = rup(d), rup(h_dim)
     # batch tile: round up to the f32 sublane quantum
     bt = max(8, ((b + 7) // 8) * 8)
 
     xp = _pad_to(_pad_to(x, bt, 0), dp, 1)
-    w1p = _pad_to(_pad_to(w1, dp, 0), dp, 1)
-    w2p = _pad_to(_pad_to(w2, dp, 0), dp, 1)
-    b1p = _pad_to(b1, dp, 0).reshape(1, dp)
+    w1p = _pad_to(_pad_to(w1, dp, 0), hp, 1)
+    w2p = _pad_to(_pad_to(w2, hp, 0), dp, 1)
+    b1p = _pad_to(b1, hp, 0).reshape(1, hp)
     b2p = _pad_to(b2, dp, 0).reshape(1, dp)
     # uniform-grid step (the reference always integrates linspace grids)
     h = (ts[1] - ts[0]).astype(jnp.float32).reshape(1)
@@ -119,7 +123,8 @@ def _fused_forward(x, w1, b1, w2, b2, ts, *, interpret):
 @partial(jax.custom_vjp, nondiff_argnums=(6,))
 def fused_rk4_motion(x, w1, b1, w2, b2, ts, interpret: bool = False):
     """RK4 solve of f(y)=tanh(y@w1+b1)@w2+b2 over the uniform grid ts, fully
-    fused in one Pallas TPU kernel. Returns the trajectory (T, B, D).
+    fused in one Pallas TPU kernel. w1: (D, H), w2: (H, D) — D and H are each
+    lane-padded independently. Returns the trajectory (T, B, D).
 
     ``interpret=True`` runs the kernel in interpreter mode (CPU testing).
     """
@@ -133,8 +138,8 @@ def _fwd(x, w1, b1, w2, b2, ts, interpret):
 
 def _bwd(interpret, residuals, g):
     x, w1, b1, w2, b2, ts = residuals
-    _, vjp = jax.vjp(lambda *a: reference_rk4_motion(*a, ts), x, w1, b1, w2, b2)
-    dx, dw1, db1, dw2, db2 = vjp(g)
+    out, vjp = jax.vjp(lambda *a: reference_rk4_motion(*a, ts), x, w1, b1, w2, b2)
+    dx, dw1, db1, dw2, db2 = vjp(jnp.asarray(g, out.dtype))
     return dx, dw1, db1, dw2, db2, jnp.zeros_like(ts)
 
 

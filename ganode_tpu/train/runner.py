@@ -32,6 +32,14 @@ from .gan import GANTrainer
 
 
 def build_trainer(config: ExperimentConfig) -> GANTrainer:
+    import jax.numpy as jnp
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[config.compute_dtype]
+    motion_kwargs = {}
+    if config.use_pallas and config.variant in ("ode", "gru"):
+        motion_kwargs["use_pallas"] = True
+    if config.variant == "ode" and config.motion_method != "rk4":
+        motion_kwargs["method"] = config.motion_method
     gen = make_generator(
         config.variant,
         n_channels=config.n_channels,
@@ -41,12 +49,15 @@ def build_trainer(config: ExperimentConfig) -> GANTrainer:
         dim_z_motion=config.dim_z_motion,
         video_length=config.video_length,
         ngf=config.ngf,
+        dtype=dtype,
+        **motion_kwargs,
     )
     if config.image_disc == "patch":
-        dis_img = PatchImageDiscriminator(ndf=config.ndf)
+        dis_img = PatchImageDiscriminator(ndf=config.ndf, dtype=dtype)
     else:
-        dis_img = ImageDiscriminator(ndf=config.ndf)
-    dis_vid = VideoDiscriminator(ksize=config.video_disc_ksize, ndf=config.ndf)
+        dis_img = ImageDiscriminator(ndf=config.ndf, dtype=dtype)
+    dis_vid = VideoDiscriminator(ksize=config.video_disc_ksize, ndf=config.ndf,
+                                 dtype=dtype)
     return GANTrainer(
         gen=gen, dis_img=dis_img, dis_vid=dis_vid,
         batch_size=config.batch_size, d_iters=config.d_iters,
@@ -178,6 +189,17 @@ def run_training(
         throughput.update()
 
         if step % config.log_every == 0:
+            # failure detection (SURVEY.md §5.3 — the reference had none): a
+            # non-finite loss means the run is dead; checkpoint the last good
+            # state and stop instead of silently training on NaNs.
+            vals = {k: float(v) for k, v in metrics.items()}
+            if not all(np.isfinite(v) for v in vals.values()):
+                logger.log(step, metrics, extra={"event": "non_finite_loss"})
+                ckpt.save(step, state, wait=True)
+                logger.close()
+                raise FloatingPointError(
+                    f"non-finite loss at step {step}: {vals}; "
+                    f"last state checkpointed to {workdir}/checkpoints")
             logger.log(step, metrics,
                        extra={"clips_per_sec": throughput.clips_per_sec_per_chip()})
         if config.sample_every and step % config.sample_every == 0:

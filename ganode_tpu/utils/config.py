@@ -27,6 +27,12 @@ class ExperimentConfig:
     ndf: int = 64
     video_disc_ksize: int = 2
     image_disc: str = "patch"         # patch | full
+    # fuse the motion solve into a Pallas TPU kernel (ode/gru variants)
+    use_pallas: bool = False
+    # conv/deconv compute dtype: 'float32' | 'bfloat16' (params stay f32)
+    compute_dtype: str = "float32"
+    # ODE-variant solver: any fixed-grid method or 'dopri5' (adaptive)
+    motion_method: str = "rk4"
     # training (reference mnist_moco_ode.py:13-14,86-89,111)
     steps: int = 100_000
     batch_size: int = 32
@@ -107,6 +113,7 @@ def ucf_wgan_gp_128(**kw) -> ExperimentConfig:
     kw.setdefault("loss", "wasserstein")
     kw.setdefault("gp_weight", 10.0)
     kw.setdefault("d_iters", 5)
+    kw.setdefault("motion_method", "dopri5")
     kw.setdefault("dataset", "ucf101")
     kw.setdefault("data_path", "data/ucf101-pack-128")
     return ExperimentConfig(name="ucf_wgan_gp_128", variant="ode", **kw)

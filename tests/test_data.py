@@ -262,3 +262,63 @@ class TestVideoDecodePack:
         clips, labels = s.sample(jax.random.PRNGKey(0))
         assert clips.shape == (3, 16, 64, 64, 3)
         assert np.isfinite(clips).all()
+
+
+class TestFrameFolder:
+    @pytest.fixture()
+    def frame_tree(self, tmp_path):
+        from PIL import Image
+        rng = np.random.RandomState(0)
+        root = tmp_path / "frames"
+        for cls, vids in (("ApplyLipstick", 2), ("Archery", 1)):
+            for v in range(vids):
+                vdir = root / cls / f"v_{cls}_g{v:02d}"
+                vdir.mkdir(parents=True)
+                n = 20 + v
+                for i in range(1, n + 1):
+                    Image.fromarray(
+                        rng.randint(0, 255, (32, 32, 3), np.uint8)
+                    ).save(str(vdir / f"image_{i:05d}.jpg"))
+                (vdir / "n_frames").write_text(str(n))
+        return str(root)
+
+    def test_clip_sampling(self, frame_tree):
+        from ganode_tpu.data import FrameFolderVideos
+        ds = FrameFolderVideos(frame_tree, batch_size=3, n_frame=16)
+        clips, labels = ds.sample(jax.random.PRNGKey(0))
+        assert clips.shape == (3, 16, 32, 32, 3)
+        assert clips.min() >= -1.0 and clips.max() <= 1.0
+        assert set(np.asarray(labels)) <= {0, 1}
+        c2, _ = ds.sample(jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(clips, c2)
+
+    def test_resize(self, frame_tree):
+        from ganode_tpu.data import FrameFolderVideos
+        ds = FrameFolderVideos(frame_tree, batch_size=2, n_frame=8,
+                               image_size=16)
+        clips, _ = ds.sample(jax.random.PRNGKey(1))
+        assert clips.shape == (2, 8, 16, 16, 3)
+
+    def test_image_folder(self, tmp_path):
+        from PIL import Image
+        from ganode_tpu.data import ImageFolderSampler
+        rng = np.random.RandomState(0)
+        root = tmp_path / "imgs"
+        for cls in ("cat", "dog"):
+            (root / cls).mkdir(parents=True)
+            for i in range(4):
+                Image.fromarray(
+                    rng.randint(0, 255, (40, 40, 3), np.uint8)
+                ).save(str(root / cls / f"{i}.png"))
+        s = ImageFolderSampler(str(root), batch_size=5, image_size=32)
+        imgs, labels = s.sample(jax.random.PRNGKey(0))
+        assert imgs.shape == (5, 32, 32, 3)
+        assert set(np.asarray(labels)) <= {0, 1}
+
+    def test_mean_std_constants(self):
+        from ganode_tpu.data import get_mean, get_std
+        assert len(get_mean(1.0, "activitynet")) == 3
+        assert len(get_mean(1.0, "kinetics")) == 3
+        assert len(get_std(1.0)) == 3
+        with pytest.raises(ValueError):
+            get_mean(1.0, "imagenet")

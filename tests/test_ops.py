@@ -123,3 +123,46 @@ class TestFusedGRU:
             reference_gru_motion(h0, e, w, wh, bi, bh) ** 2))(wi)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    rtol=1e-4, atol=1e-6)
+
+
+class TestPallasMotionIntegration:
+    def test_rect_hidden_dim(self):
+        k = jax.random.PRNGKey(0)
+        ks = jax.random.split(k, 5)
+        b, d, h, t = 4, 10, 24, 6
+        x = jax.random.normal(ks[0], (b, d))
+        w1 = jax.random.normal(ks[1], (d, h)) * 0.3
+        b1 = jax.random.normal(ks[2], (h,)) * 0.1
+        w2 = jax.random.normal(ks[3], (h, d)) * 0.3
+        b2 = jax.random.normal(ks[4], (d,)) * 0.1
+        ts = jnp.linspace(0.0, 1.0, t)
+        got = fused_rk4_motion(x, w1, b1, w2, b2, ts, True)
+        want = reference_rk4_motion(x, w1, b1, w2, b2, ts)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_motion_ode_pallas_matches_plain(self):
+        from ganode_tpu.models.motion import MotionODE
+        plain = MotionODE(dim=16)
+        fused = MotionODE(dim=16, use_pallas=True)
+        k = jax.random.PRNGKey(0)
+        params = plain.init({"params": k, "sample": k}, 4, 8)["params"]
+        out_p = plain.apply({"params": params}, 4, 8,
+                            rngs={"sample": jax.random.PRNGKey(5)})
+        out_f = fused.apply({"params": params}, 4, 8,
+                            rngs={"sample": jax.random.PRNGKey(5)})
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_f),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_motion_gru_pallas_matches_plain(self):
+        from ganode_tpu.models.motion import MotionGRU
+        plain = MotionGRU(dim=16)
+        fused = MotionGRU(dim=16, use_pallas=True)
+        k = jax.random.PRNGKey(0)
+        params = plain.init({"params": k, "sample": k}, 4, 8)["params"]
+        out_p = plain.apply({"params": params}, 4, 8,
+                            rngs={"sample": jax.random.PRNGKey(5)})
+        out_f = fused.apply({"params": params}, 4, 8,
+                            rngs={"sample": jax.random.PRNGKey(5)})
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_f),
+                                   rtol=1e-4, atol=1e-5)
