@@ -63,6 +63,33 @@ def corner_crop(clip, size: int, position: str):
     return clip[..., y0:y0 + size, x0:x0 + size, :]
 
 
+def multi_scale_corner_crop(key, clip, size: int,
+                            scales: Sequence[float] = (1.0, 0.84, 0.71, 0.59, 0.5),
+                            positions: Sequence[str] = _CORNER_POSITIONS):
+    """Pick one (scale, corner) pair for the whole clip, crop, resize to ``size``
+    (reference MultiScaleCornerCrop, spatial_transforms.py:300-340)."""
+    k_scale, k_pos = jax.random.split(key)
+    h, w = clip.shape[-3], clip.shape[-2]
+    min_side = min(h, w)
+    s_idx = jax.random.randint(k_scale, (), 0, len(scales))
+    p_idx = jax.random.randint(k_pos, (), 0, len(positions))
+
+    def branch(scale, pos):
+        def run(c):
+            crop = int(min_side * scale)
+            cropped = corner_crop(c, crop, pos)
+            t = cropped.shape[0]
+            return jax.image.resize(
+                cropped, (t, size, size, cropped.shape[-1]), method="bilinear")
+        return run
+
+    def scale_branch(scale):
+        return lambda c: jax.lax.switch(
+            p_idx, [branch(scale, p) for p in positions], c)
+
+    return jax.lax.switch(s_idx, [scale_branch(s) for s in scales], clip)
+
+
 def multi_scale_random_crop(key, clip, size: int,
                             scales: Sequence[float] = (1.0, 0.84, 0.71, 0.59, 0.5)):
     """Pick one scale for the clip, crop a random window of that scale, resize to

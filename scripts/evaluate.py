@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Evaluate a trained generator: Inception Score + Frechet Video Distance.
+
+The evaluation loop the reference intended but could not run (its IS module is a
+dead import — reference mnist_moco_ode.py:7,169-173, models/moco_ode.py:125-128):
+
+  python scripts/evaluate.py --config mnist_ode --workdir runs/mnist_ode \
+      [--data data/rot-mnist.npz] [--n-samples 1000] [--cpu] [--synthetic]
+
+IS uses a small classifier trained on the real dataset's labels; FVD uses a
+fixed-seed video embedder (swap in I3D features for publication-grade numbers —
+see ganode_tpu/eval/embedder.py).
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--data", default=None)
+    p.add_argument("--n-samples", type=int, default=512)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--classifier-steps", type=int, default=300)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--synthetic", action="store_true")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import numpy as np
+
+    from ganode_tpu.eval import (
+        VideoEmbedder, embed_videos, fvd, inception_score, train_classifier)
+    from ganode_tpu.train.runner import build_data, build_trainer
+    from ganode_tpu.utils.checkpoint import CheckpointManager
+    from ganode_tpu.utils.config import get_config
+
+    overrides = {"data_path": args.data} if args.data else {}
+    config = get_config(args.config, **overrides)
+    trainer = build_trainer(config)
+
+    state = trainer.init_state(jax.random.PRNGKey(config.seed))
+    ckpt_dir = os.path.join(args.workdir, "checkpoints")
+    mgr = CheckpointManager(ckpt_dir)
+    step = mgr.latest_step()
+    if step is not None:
+        state = mgr.restore(state)
+        print(f"restored checkpoint at step {step}")
+    else:
+        print("WARNING: no checkpoint found — evaluating the INITIAL generator")
+
+    # ---- real data ----------------------------------------------------------
+    img_sampler, vid_sampler = build_data(config, synthetic=args.synthetic)
+    key = jax.random.PRNGKey(123)
+    n_real = args.n_samples
+    real_videos, real_frames, real_labels = [], [], []
+    i = 0
+    while sum(v.shape[0] for v in real_videos) < n_real:
+        vids, labels = vid_sampler.sample(jax.random.fold_in(key, i))
+        real_videos.append(np.asarray(vids))
+        real_labels.append(np.asarray(labels).reshape(-1))
+        imgs, _ = img_sampler.sample(jax.random.fold_in(key, 10_000 + i))
+        real_frames.append(np.asarray(imgs))
+        i += 1
+    real_videos = np.concatenate(real_videos)[:n_real]
+    real_frames = np.concatenate(real_frames)[:n_real]
+    real_labels = np.concatenate(real_labels)[:n_real].astype(np.int64)
+
+    # ---- fake samples (eval mode, like the reference's genSamples) ----------
+    variables = {"params": state.gen.params, "batch_stats": state.gen.batch_stats}
+    fake_videos = []
+    for j in range(0, n_real, args.batch_size):
+        n = min(args.batch_size, n_real - j)
+        (v, _) = trainer.gen.apply(
+            variables, n, method="sample_videos",
+            rngs={"sample": jax.random.fold_in(key, 20_000 + j)}, train=False)
+        fake_videos.append(np.asarray(v))
+    fake_videos = np.concatenate(fake_videos)
+    fake_frames = fake_videos[:, 0]
+
+    # ---- IS: classifier trained on real frames ------------------------------
+    n_classes = int(real_labels.max()) + 1
+    model, cls_params, acc = train_classifier(
+        real_frames, real_labels, n_classes=n_classes,
+        steps=args.classifier_steps)
+    import jax.numpy as jnp
+    probs = np.asarray(jax.nn.softmax(
+        model.apply({"params": cls_params}, jnp.asarray(fake_frames)), axis=-1))
+    is_mean, is_std = inception_score(probs)
+
+    # ---- FVD: fixed-seed embedder -------------------------------------------
+    embedder = VideoEmbedder(feature_dim=128)
+    emb_params = embedder.init(
+        jax.random.PRNGKey(7), jnp.asarray(real_videos[:1]))["params"]
+    feats_real = embed_videos(embedder, emb_params, real_videos,
+                              args.batch_size)
+    feats_fake = embed_videos(embedder, emb_params, fake_videos,
+                              args.batch_size)
+    fvd_value = fvd(feats_real, feats_fake)
+
+    result = {
+        "config": config.name,
+        "checkpoint_step": step,
+        "n_samples": n_real,
+        "classifier_train_acc": round(acc, 4),
+        "inception_score_mean": round(is_mean, 4),
+        "inception_score_std": round(is_std, 4),
+        "fvd": round(fvd_value, 4),
+    }
+    out = os.path.join(args.workdir, "eval.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,6 +8,12 @@ Reproduces the reference's stage-2 notebook protocol
 leaky-relu trunk here, fixed seed, euler/rk2/rk4 vs Adam comparison) as a CLI.
 
   python scripts/train_odegan.py --method rk4 --steps 200 --cpu
+
+``--arch dcgan`` switches to the conv generator/discriminator pair of the
+reference's CIFAR stage-2 notebook (reference
+stage2/test_ODE_training_with_cifar_GAN.ipynb cell 1: DCGAN-ish G/D, euler,
+dry-run smoke flag) on 32x32x3 images; ``--dry-run`` caps training to one batch
+exactly like the notebook's smoke mode.
 """
 import argparse
 import json
@@ -20,6 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--method", default="rk4", choices=["euler", "rk2", "rk4"])
+    p.add_argument("--arch", default="mlp", choices=["mlp", "dcgan"])
+    p.add_argument("--dry-run", action="store_true",
+                   help="one-batch smoke mode (the CIFAR notebook's dry_run)")
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--lr", type=float, default=0.02)
@@ -58,25 +67,63 @@ def main():
                 x = nn.leaky_relu(nn.Dense(w)(x), 0.2)
             return nn.Dense(1)(x).squeeze(-1)
 
+    class DCGANGen(nn.Module):
+        """32x32x3 conv generator (the CIFAR notebook's stage-2 G)."""
+
+        @nn.compact
+        def __call__(self, z):
+            h = nn.Dense(4 * 4 * 256)(z).reshape(-1, 4, 4, 256)
+            # torch ConvTranspose(k=4, s=2, p=1) doubling == flax padding (2, 2)
+            for feats in (128, 64):
+                h = nn.relu(nn.GroupNorm(num_groups=8)(
+                    nn.ConvTranspose(feats, (4, 4), strides=(2, 2),
+                                     padding=((2, 2), (2, 2)))(h)))
+            h = nn.ConvTranspose(3, (4, 4), strides=(2, 2),
+                                 padding=((2, 2), (2, 2)))(h)
+            return jnp.tanh(h)
+
+    class DCGANDisc(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = x
+            for feats in (64, 128, 256):
+                h = nn.leaky_relu(
+                    nn.Conv(feats, (4, 4), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))(h), 0.2)
+            return nn.Dense(1)(h.reshape(h.shape[0], -1)).squeeze(-1)
+
     key = jax.random.PRNGKey(args.seed)
-    gen, disc = MLPGen(), MLPDisc()
+    if args.arch == "dcgan":
+        gen, disc = DCGANGen(), DCGANDisc()
+        data_shape = (32, 32, 3)
+    else:
+        gen, disc = MLPGen(), MLPDisc()
+        data_shape = (784,)
     g_params = gen.init(key, jnp.zeros((1, 100)))["params"]
-    d_params = disc.init(jax.random.fold_in(key, 1), jnp.zeros((1, 784)))["params"]
+    d_params = disc.init(jax.random.fold_in(key, 1),
+                         jnp.zeros((1,) + data_shape))["params"]
     all_params = {"gen": g_params, "dis_img": d_params, "dis_vid": None}
 
-    # data: flattened frames in [-1, 1]
-    if args.synthetic or not os.path.exists(args.data):
+    # data in [-1, 1]
+    if args.synthetic or not os.path.exists(args.data) or args.arch == "dcgan":
         rng = np.random.RandomState(0)
-        flat = np.full((2048, 784), -1.0, np.float32)
-        for i in range(2048):
-            y, x = rng.randint(0, 20, 2)
-            img = flat[i].reshape(28, 28)
-            img[y:y + 8, x:x + 8] = 1.0
-        data = jnp.asarray(flat)
+        n = 2048
+        data = np.full((n,) + data_shape, -1.0, np.float32)
+        for i in range(n):
+            y, x = rng.randint(0, data_shape[0] - 8 if args.arch == "dcgan" else 20, 2)
+            if args.arch == "dcgan":
+                data[i, y:y + 8, x:x + 8, :] = 1.0
+            else:
+                img = data[i].reshape(28, 28)
+                img[y:y + 8, x:x + 8] = 1.0
+        data = jnp.asarray(data)
     else:
         from ganode_tpu.data import load_rotmnist
         videos, _ = load_rotmnist(args.data, train=True)
         data = jnp.asarray(videos.reshape(-1, 784) * 2.0 - 1.0)
+
+    if args.dry_run:
+        args.steps = 1
 
     B = args.batch_size
 

@@ -322,3 +322,13 @@ class TestFrameFolder:
         assert len(get_std(1.0)) == 3
         with pytest.raises(ValueError):
             get_mean(1.0, "imagenet")
+
+
+def test_multi_scale_corner_crop():
+    clip = jnp.asarray(np.random.RandomState(0).rand(3, 32, 32, 3))
+    out = transforms.multi_scale_corner_crop(jax.random.PRNGKey(2), clip, 16)
+    assert out.shape == (3, 16, 16, 3)
+    # different keys should eventually pick different (scale, corner) pairs
+    outs = [np.asarray(transforms.multi_scale_corner_crop(
+        jax.random.PRNGKey(s), clip, 16)) for s in range(6)]
+    assert any(not np.allclose(outs[0], o) for o in outs[1:])

@@ -117,3 +117,30 @@ class TestTrainStep:
     def test_unknown_loss_rejected(self):
         with pytest.raises(ValueError):
             _tiny_trainer(loss="nonsense")
+
+
+def test_categorical_training_config():
+    """End-to-end step with dim_z_category > 0 and the categorical video
+    discriminator (the reference's category-conditional mode,
+    models/mocogan.py:167-182,231-247)."""
+    from ganode_tpu.models import CategoricalVideoDiscriminator
+
+    gen = make_generator("gru", n_channels=1, trunk="mnist28", video_length=8,
+                         dim_z_content=10, dim_z_category=4, dim_z_motion=4,
+                         ngf=NGF)
+    k = jax.random.PRNGKey(0)
+    variables = gen.init({"params": k, "sample": k}, 2)
+    (videos, labels), _ = gen.apply(
+        variables, 4, method="sample_videos",
+        rngs={"sample": k}, mutable=["batch_stats"])
+    assert labels.shape == (4,)
+
+    disc = CategoricalVideoDiscriminator(dim_categorical=4, ksize=2, ndf=NGF)
+    dvars = disc.init(k, videos)
+    (realness, categ), _ = disc.apply(dvars, videos, mutable=["batch_stats"])
+    assert categ.shape[-1] == 4
+    # category cross-entropy against the generator's sampled labels is finite
+    import optax
+    logits = categ.reshape(categ.shape[0], -1, 4).mean(axis=1)
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    assert np.isfinite(float(ce))
