@@ -53,14 +53,19 @@ def feature_stats(features) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
-    """Frechet distance between two Gaussians."""
-    mu1, mu2 = jnp.asarray(mu1), jnp.asarray(mu2)
-    sigma1, sigma2 = jnp.asarray(sigma1), jnp.asarray(sigma2)
-    diff = jnp.sum((mu1 - mu2) ** 2)
+    """Frechet distance between two Gaussians.
+
+    Runs on host numpy: the general eigendecomposition has no TPU lowering and
+    this is an O(D^3) eval-time metric on a ~128-dim feature space.
+    """
+    mu1, mu2 = np.asarray(mu1, np.float64), np.asarray(mu2, np.float64)
+    sigma1 = np.asarray(sigma1, np.float64)
+    sigma2 = np.asarray(sigma2, np.float64)
+    diff = np.sum((mu1 - mu2) ** 2)
     # Tr((S1 S2)^{1/2}) via the eigenvalues of S1 @ S2 (real, >= 0 up to noise)
-    eigs = jnp.linalg.eigvals(sigma1 @ sigma2)
-    tr_sqrt = jnp.sum(jnp.sqrt(jnp.clip(jnp.real(eigs), 0.0, None)))
-    return float(diff + jnp.trace(sigma1) + jnp.trace(sigma2) - 2.0 * tr_sqrt)
+    eigs = np.linalg.eigvals(sigma1 @ sigma2)
+    tr_sqrt = np.sum(np.sqrt(np.clip(np.real(eigs), 0.0, None)))
+    return float(diff + np.trace(sigma1) + np.trace(sigma2) - 2.0 * tr_sqrt)
 
 
 def fvd(real_features, fake_features) -> float:

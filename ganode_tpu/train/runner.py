@@ -147,6 +147,31 @@ def _stack_d_batches(sampler, key, d_iters):
                      for i in range(d_iters)])
 
 
+def make_device_data_step(trainer: GANTrainer, d_iters: int, video_length: int):
+    """A jitted step whose real batches are gathered ON DEVICE from a resident
+    dataset array — zero host->device traffic per step.
+
+    For datasets that fit in HBM (rotated-MNIST is ~6 MB) this removes the data
+    path entirely: ``videos`` (N, T, H, W, C) is uploaded once; each step draws
+    random clips and random frames with device-side PRNG. Returns
+    ``step(state, videos, key) -> (state, metrics)``.
+    """
+    B = trainer.batch_size
+
+    def step(state, videos, key):
+        k_v, k_i, k_f, k_t = jax.random.split(key, 4)
+        n = videos.shape[0]
+        vid_idx = jax.random.randint(k_v, (d_iters, B), 0, n)
+        vid_batches = videos[vid_idx]                      # (d, B, T, H, W, C)
+        img_vid_idx = jax.random.randint(k_i, (d_iters, B), 0, n)
+        frame_idx = jax.random.randint(k_f, (d_iters, B), 0, video_length)
+        img_batches = videos[img_vid_idx,                   # (d, B, H, W, C)
+                             frame_idx]
+        return trainer.train_step(state, img_batches, vid_batches, k_t)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def run_training(
     config: ExperimentConfig,
     workdir: str,

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""TPU training demonstration: rotated-squares MoCoGAN+ODE end to end.
+
+Trains the canonical mnist_ode configuration (reference mnist_moco_ode.py
+geometry) on a synthetic rotated-squares dataset held resident in HBM (batches
+gathered inside the jitted step — zero per-step host traffic through the tunnel),
+then writes sample GIFs and an FVD-vs-real curve so "it trains" is a measured
+fact, not an assertion.
+
+  python scripts/demo_tpu_train.py --steps 1500 --workdir runs/demo
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=1500)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--n-videos", type=int, default=512)
+    p.add_argument("--eval-every", type=int, default=250)
+    p.add_argument("--workdir", default="runs/demo")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="shrink the model for CPU smoke runs")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ganode_tpu.eval import VideoEmbedder, embed_videos, fvd
+    from ganode_tpu.train.runner import (
+        build_trainer, make_device_data_step, synthetic_rotmnist)
+    from ganode_tpu.utils.config import get_config
+    from ganode_tpu.utils.gifs import save_sample_grid
+
+    os.makedirs(args.workdir, exist_ok=True)
+    config = get_config("mnist_ode", batch_size=args.batch_size)
+    if args.tiny:
+        config = config.__class__(**{**config.__dict__, "ngf": 8, "ndf": 8,
+                                     "dim_z_content": 8, "dim_z_motion": 4,
+                                     "d_iters": 1})
+    trainer = build_trainer(config)
+
+    videos_np, _ = synthetic_rotmnist(config, n_videos=args.n_videos)
+    videos_np = videos_np * 2.0 - 1.0  # [-1, 1] so reals match the tanh fakes
+    videos = jnp.asarray(videos_np)
+
+    key = jax.random.PRNGKey(0)
+    state = jax.jit(trainer.init_state)(key)
+    step = make_device_data_step(trainer, config.d_iters, config.video_length)
+
+    # eval plumbing (host side, run sparsely)
+    embedder = VideoEmbedder(feature_dim=64)
+    emb_params = embedder.init(jax.random.PRNGKey(7), videos[:1])["params"]
+    feats_real = embed_videos(embedder, emb_params, videos_np[:256], 64)
+
+    def sample_fakes(state, n, seed):
+        variables = {"params": state.gen.params,
+                     "batch_stats": state.gen.batch_stats}
+        outs = []
+        for j in range(0, n, 64):
+            (v, _) = trainer.gen.apply(
+                variables, min(64, n - j), method="sample_videos",
+                rngs={"sample": jax.random.PRNGKey(seed + j)}, train=False)
+            outs.append(np.asarray(v))
+        return np.concatenate(outs)
+
+    history = []
+    t0 = time.time()
+    for i in range(args.steps):
+        state, metrics = step(state, videos, jax.random.fold_in(key, i))
+        if i % args.eval_every == 0 or i == args.steps - 1:
+            m = {k: float(v) for k, v in metrics.items()}  # host sync
+            fakes = sample_fakes(state, 256, 10_000 + i)
+            value = fvd(feats_real, embed_videos(embedder, emb_params, fakes, 64))
+            rec = {"step": i, **{k: round(v, 4) for k, v in m.items()},
+                   "fvd": round(value, 4),
+                   "elapsed_s": round(time.time() - t0, 1)}
+            history.append(rec)
+            print(json.dumps(rec), flush=True)
+            save_sample_grid(
+                os.path.join(args.workdir, f"samples_{i:05d}.gif"),
+                fakes[:16], n=4)
+
+    with open(os.path.join(args.workdir, "history.json"), "w") as f:
+        json.dump(history, f, indent=2)
+    first, last = history[0]["fvd"], history[-1]["fvd"]
+    print(f"FVD {first} -> {last} over {args.steps} steps "
+          f"({'IMPROVED' if last < first else 'no improvement'})")
+
+
+if __name__ == "__main__":
+    main()
