@@ -130,8 +130,53 @@ class DCGANTrunk128(nn.Module):
         return jnp.tanh(h).astype(jnp.float32)
 
 
+class GResTrunk64(nn.Module):
+    """DVD-GAN-class generator trunk from GResBlocks: the model the reference's
+    stage 1 built blocks for but never assembled (SURVEY.md §2.3 #24-25).
+
+    z (B', 1, 1, dim_z) -> dense 4x4 seed -> 4 up-sampling residual blocks
+    (spectral-normed convs + conditional BN, condition = the latent itself)
+    -> BN -> relu -> SN 3x3 conv -> tanh, 64x64 output.
+
+    ``continuous_depth=True`` swaps each GResBlock for the stage-1 ODEGResBlock
+    (ANODE-style ODE flow in channel-augmented space, notebook cells 6-9).
+    """
+
+    n_channels: int
+    ngf: int = 64
+    dtype: Any = jnp.float32  # blocks run f32 (SN power iteration stability)
+    continuous_depth: bool = False
+    ode_steps: int = 2
+
+    @nn.compact
+    def __call__(self, z, *, train: bool = True):
+        from ..nn import GResBlock, ODEGResBlock, SNConv
+
+        bt = z.shape[0]
+        zc = z.reshape(bt, -1)
+        dim_z = zc.shape[-1]
+        ngf = self.ngf
+        h = nn.Dense(4 * 4 * ngf * 8, kernel_init=_conv_init)(zc)
+        h = h.reshape(bt, 4, 4, ngf * 8)
+        channels = (ngf * 8, ngf * 4, ngf * 2, ngf)      # 4->8->16->32->64
+        for i, ch in enumerate(channels):
+            if self.continuous_depth:
+                h = ODEGResBlock(in_channels=h.shape[-1], out_channels=ch,
+                                 n_condition=dim_z, num_steps=self.ode_steps,
+                                 name=f"block_{i}")(h, zc, train=train)
+            else:
+                h = GResBlock(out_channels=ch, n_condition=dim_z,
+                              name=f"block_{i}")(h, zc, train=train)
+        h = nn.relu(_bn(h, train))
+        h = SNConv(self.n_channels, (3, 3), padding=((1, 1), (1, 1)))(
+            h, update_stats=train)
+        return jnp.tanh(h).astype(jnp.float32)
+
+
 TRUNKS = {"dcgan64": DCGANTrunk64, "mnist28": MNISTTrunk28,
-          "dcgan128": DCGANTrunk128}
+          "dcgan128": DCGANTrunk128, "gres64": GResTrunk64,
+          "odegres64": lambda n_channels, ngf=64, dtype=jnp.float32:
+              GResTrunk64(n_channels, ngf, dtype, continuous_depth=True)}
 
 
 class VideoGenerator(nn.Module):
@@ -319,6 +364,13 @@ class VideoDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
+        # five stride-1 unpadded time convs each eat (ksize - 1) frames; a too-
+        # short clip silently produces an empty tensor and NaN losses downstream
+        min_t = 5 * self.ksize - 4
+        if x.shape[1] < min_t:
+            raise ValueError(
+                f"VideoDiscriminator(ksize={self.ksize}) needs clips with at "
+                f"least {min_t} frames, got T={x.shape[1]}")
         dt = self.dtype
         noise = lambda h: Noise(self.use_noise, self.noise_sigma or 0.0)(h)
         k = (self.ksize,) * 3

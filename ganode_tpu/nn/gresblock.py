@@ -158,9 +158,16 @@ class ODEGResBlock(nn.Module):
         if self.upsample_factor != 1:
             out = _upsample_nearest(out, self.upsample_factor)
         if self.in_channels < self.out_channels:
+            # ANODE-style zero augmentation (reference notebook cell 9)
             pad = self.out_channels - self.in_channels
             zeros = jnp.zeros(out.shape[:-1] + (pad,), out.dtype)
             out = jnp.concatenate([out, zeros], axis=-1)
+        elif self.in_channels > self.out_channels:
+            # the reference block assumed in <= out (its test is 3 -> 100);
+            # for channel-decreasing stacks project down with a 1x1 SN conv
+            # before the flow so the ODE state lives in out_channels space
+            out = SNConv(self.out_channels, (1, 1), padding="VALID",
+                         name="proj_down")(out, update_stats=train)
 
         field = Conv2dODEField(self.out_channels, self.n_condition, self.activation)
         u0 = self.variable("spectral", "u0",

@@ -81,17 +81,32 @@ class GANTrainer:
         self.d_loss_fn, self.g_loss_fn = LOSSES[self.loss]
         self.tx = reference_adam(self.lr, *self.betas, self.weight_decay)
 
+    # ----------------------------------------------------------- state utils
+    @staticmethod
+    def _vars_of(net: NetState):
+        v = {"params": net.params, "batch_stats": net.batch_stats}
+        if net.spectral is not None:
+            v["spectral"] = net.spectral
+        return v
+
+    @staticmethod
+    def _mutable_of(net: NetState):
+        return ["batch_stats", "spectral"] if net.spectral is not None \
+            else ["batch_stats"]
+
     # ------------------------------------------------------------------ init
     def init_state(self, key) -> GANState:
         k_gen, k_sample, k_img, k_vid = jax.random.split(key, 4)
         gen_vars = self.gen.init({"params": k_gen, "sample": k_sample}, 2)
 
+        gen_mutable = ["batch_stats"] + (
+            ["spectral"] if "spectral" in gen_vars else [])
         (videos, _), _ = self.gen.apply(
             gen_vars, 2, method="sample_videos",
-            rngs={"sample": k_sample}, mutable=["batch_stats"])
+            rngs={"sample": k_sample}, mutable=gen_mutable)
         (images, _), _ = self.gen.apply(
             gen_vars, 2, method="sample_images",
-            rngs={"sample": k_sample}, mutable=["batch_stats"])
+            rngs={"sample": k_sample}, mutable=gen_mutable)
 
         img_vars = self.dis_img.init({"params": k_img}, images)
         vid_vars = self.dis_vid.init({"params": k_vid}, videos)
@@ -115,11 +130,11 @@ class GANTrainer:
     # ------------------------------------------------------------- internals
     def _sample(self, net: NetState, key, n: int, what: str):
         """Generator sample in train mode; returns (tensor, refreshed NetState)."""
-        variables = {"params": net.params, "batch_stats": net.batch_stats}
         (out, _), mut = self.gen.apply(
-            variables, n, method=what, rngs={"sample": key},
-            mutable=["batch_stats"])
-        return out, net.replace(batch_stats=mut["batch_stats"])
+            self._vars_of(net), n, method=what, rngs={"sample": key},
+            mutable=self._mutable_of(net))
+        return out, net.replace(batch_stats=mut["batch_stats"],
+                                spectral=mut.get("spectral", net.spectral))
 
     def _d_forward(self, mod, params, batch_stats, x, key):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -164,15 +179,16 @@ class GANTrainer:
                 self.dis_img, state.dis_img.params, state.dis_img.batch_stats,
                 fake_img, k_di)
             loss = self.g_loss_fn(pf_vid) + self.g_loss_fn(pf_img)
-            return loss, (g_net.batch_stats, dv_bs, di_bs)
+            return loss, (g_net.batch_stats, g_net.spectral, dv_bs, di_bs)
 
-        (loss, (g_bs, dv_bs, di_bs)), grads = jax.value_and_grad(
+        (loss, (g_bs, g_spec, dv_bs, di_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.gen.params)
         updates, new_opt = self.tx.update(grads, state.gen.opt_state, state.gen.params)
         new_params = optax.apply_updates(state.gen.params, updates)
         if self.param_noise_sigma > 0:
             new_params = _add_param_noise(new_params, k_pnoise, self.param_noise_sigma)
-        gen = state.gen.replace(params=new_params, batch_stats=g_bs, opt_state=new_opt)
+        gen = state.gen.replace(params=new_params, batch_stats=g_bs,
+                                spectral=g_spec, opt_state=new_opt)
         dis_vid = state.dis_vid.replace(batch_stats=dv_bs)
         dis_img = state.dis_img.replace(batch_stats=di_bs)
         return state.replace(gen=gen, dis_vid=dis_vid, dis_img=dis_img), loss

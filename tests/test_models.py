@@ -141,3 +141,64 @@ def test_grad_flows_into_motion_params():
     norms = [float(jnp.linalg.norm(x)) for x in jax.tree.leaves(ode_grads)]
     assert all(np.isfinite(n) for n in norms)
     assert any(n > 0 for n in norms), norms
+
+
+class TestGResTrunks:
+    """The DVD-GAN-class generator family: the stage-1 blocks the reference
+    never assembled into a model (SURVEY.md §2.3 #24-25), here as trunks."""
+
+    def test_gres64_videos(self):
+        gen = make_generator("ode", n_channels=3, trunk="gres64", ngf=8,
+                             dim_z_content=10, dim_z_motion=4, video_length=4)
+        k = jax.random.PRNGKey(0)
+        variables = gen.init({"params": k, "sample": k}, 2)
+        assert "spectral" in variables
+        (videos, _), mut = gen.apply(
+            variables, 2, method="sample_videos",
+            rngs={"sample": k}, mutable=["batch_stats", "spectral"])
+        assert videos.shape == (2, 4, 64, 64, 3)
+        assert np.all(np.isfinite(np.asarray(videos)))
+
+    def test_odegres64_continuous_depth(self):
+        gen = make_generator("ode", n_channels=3, trunk="odegres64", ngf=8,
+                             dim_z_content=10, dim_z_motion=4, video_length=4)
+        k = jax.random.PRNGKey(0)
+        variables = gen.init({"params": k, "sample": k}, 2)
+        (videos, _), _ = gen.apply(
+            variables, 2, method="sample_videos",
+            rngs={"sample": k}, mutable=["batch_stats", "spectral"])
+        assert videos.shape == (2, 4, 64, 64, 3)
+        assert np.all(np.isfinite(np.asarray(videos)))
+
+    def test_gres_trains_one_step(self):
+        """Spectral-norm state must thread through the full jitted train step."""
+        from ganode_tpu.models import PatchImageDiscriminator, VideoDiscriminator
+        from ganode_tpu.train import GANTrainer
+
+        T = 8  # >= 6 so five k=2 time convs keep a nonempty time axis
+        gen = make_generator("gru", n_channels=1, trunk="gres64", ngf=8,
+                             dim_z_content=8, dim_z_motion=4, video_length=T)
+        tr = GANTrainer(gen=gen, dis_img=PatchImageDiscriminator(ndf=8),
+                        dis_vid=VideoDiscriminator(ksize=2, ndf=8),
+                        batch_size=2, d_iters=1)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        assert state.gen.spectral is not None
+        import numpy as np
+        rng = np.random.RandomState(0)
+        imgs = rng.uniform(-1, 1, (1, 2, 64, 64, 1)).astype(np.float32)
+        vids = rng.uniform(-1, 1, (1, 2, T, 64, 64, 1)).astype(np.float32)
+        new_state, metrics = tr.train_step(state, imgs, vids,
+                                           jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["gen_loss"]))
+        # power-iteration state advanced during training
+        changed = any(
+            not np.allclose(a, b)
+            for a, b in zip(jax.tree.leaves(state.gen.spectral),
+                            jax.tree.leaves(new_state.gen.spectral)))
+        assert changed
+
+
+def test_video_discriminator_rejects_short_clips():
+    disc = VideoDiscriminator(ksize=2, ndf=8)
+    with pytest.raises(ValueError, match="at least 6 frames"):
+        disc.init(jax.random.PRNGKey(0), jnp.zeros((2, 4, 28, 28, 1)))
