@@ -35,16 +35,22 @@ from .solve import SolveStats
 
 
 def _substeps(ts, dt) -> int:
-    """Static number of substeps per output interval (uniform grid assumed)."""
-    ts = jnp.asarray(ts)
+    """Static number of substeps per output interval (uniform grid assumed).
+
+    Works on the RAW ts object (numpy / list / concrete jnp array) BEFORE any
+    jnp conversion: arithmetic on constants inside a jit trace lifts them to
+    tracers, so the host-side count must be taken from host data.
+    """
     if dt is None:
         return 1
-    # Uniform-grid fast path: lengths are static Python ints under jit tracing
-    # only if ts is concrete; fall back to conservative bound otherwise.
+    import numpy as _np
+
     try:
-        interval = float(ts[1] - ts[0])
+        host_ts = _np.asarray(ts)
+        interval = float(host_ts[1] - host_ts[0])
         return max(1, math.ceil(round(interval / float(dt), 9)))
-    except (TypeError, jax.errors.TracerArrayConversionError):
+    except (TypeError, jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
         raise ValueError(
             "sdeint requires a concrete (non-traced) ts/dt so the substep count is "
             "static; pass ts as a numpy array or Python floats."
@@ -94,8 +100,10 @@ def sdeint(
     f = (lambda t, y: drift(t, y)) if args is None else (lambda t, y: drift(t, y, args))
     g = (lambda t, y: diffusion(t, y)) if args is None else (lambda t, y: diffusion(t, y, args))
 
-    ts = jnp.asarray(ts)
+    # substep count is host-side and static: compute it from the RAW ts before
+    # any jnp conversion (jax 0.9 tracing lifts converted constants to tracers)
     spi = _substeps(ts, dt)
+    ts = jnp.asarray(ts)
     flat_y0, treedef = jax.tree.flatten(y0)
 
     def em_substep(t, h, y, dW):
