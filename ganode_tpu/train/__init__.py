@@ -14,6 +14,7 @@ from .losses import (
 )
 from .odegan import (
     ODEGANTrainer,
+    make_mocogan_losses,
     discriminator_regularizer,
     euler_step,
     rk2_step,
@@ -37,6 +38,7 @@ __all__ = [
     "g_loss_hinge",
     "g_loss_wasserstein",
     "gradient_penalty",
+    "make_mocogan_losses",
     "rk2_step",
     "rk4_step",
     "reference_adam",

@@ -100,6 +100,61 @@ def discriminator_regularizer(g_loss_fn: Callable[[Any, Any], jnp.ndarray],
     return jax.grad(magnitude)(d_params)
 
 
+def make_mocogan_losses(gen, dis_img, dis_vid, gen_stats, img_stats, vid_stats,
+                        batch_size: int, *, loss: str = "bce"):
+    """Functional loss closures wiring the full MoCoGAN triple into the ODE-GAN
+    trainer — the integration the reference's GANODETrainer signature was built
+    for (its ctor takes g/dImg/dVid params, reference stage2/ode_training.py:5)
+    but that no committed script ever ran.
+
+    Batch statistics are held fixed (eval-mode normalization) during the RK
+    displaced evaluations: the parameter-space RK step evaluates the loss at
+    four intermediate parameter points, and mutating running stats at
+    displaced parameters has no well-defined reference semantics.
+
+    Returns (g_loss, d_img_loss, d_vid_loss) with the
+    ``loss(all_params, key, batch) -> scalar`` signature ODEGANTrainer expects;
+    d losses take real batches (images / NTHWC videos), g_loss takes None.
+    """
+    from .losses import LOSSES
+
+    d_loss_fn, g_loss_fn = LOSSES[loss]
+
+    def _sample(params, key, what, n):
+        (out, _) = gen.apply(
+            {"params": params["gen"], "batch_stats": gen_stats},
+            n, method=what, rngs={"sample": key}, train=False)
+        return out
+
+    def _disc(mod, params_key, stats, params, x):
+        (logits, _) = mod.apply(
+            {"params": params[params_key], "batch_stats": stats},
+            x, train=False)
+        return logits
+
+    def g_loss(params, key, batch):
+        k_v, k_i = jax.random.split(key)
+        fake_vid = _sample(params, k_v, "sample_videos", batch_size)
+        fake_img = _sample(params, k_i, "sample_images", batch_size)
+        pf_vid = _disc(dis_vid, "dis_vid", vid_stats, params, fake_vid)
+        pf_img = _disc(dis_img, "dis_img", img_stats, params, fake_img)
+        return g_loss_fn(pf_vid) + g_loss_fn(pf_img)
+
+    def d_img_loss(params, key, batch):
+        fake = _sample(params, key, "sample_images", batch_size)
+        pr = _disc(dis_img, "dis_img", img_stats, params, batch)
+        pf = _disc(dis_img, "dis_img", img_stats, params, fake)
+        return d_loss_fn(pr, pf)
+
+    def d_vid_loss(params, key, batch):
+        fake = _sample(params, key, "sample_videos", batch_size)
+        pr = _disc(dis_vid, "dis_vid", vid_stats, params, batch)
+        pf = _disc(dis_vid, "dis_vid", vid_stats, params, fake)
+        return d_loss_fn(pr, pf)
+
+    return g_loss, d_img_loss, d_vid_loss
+
+
 @dataclasses.dataclass
 class ODEGANTrainer:
     """Drop-in functional equivalent of reference GANODETrainer.

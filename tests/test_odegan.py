@@ -153,3 +153,51 @@ class TestDispatch:
         out = tr.step(params, jax.random.PRNGKey(0), model="gen")
         assert not np.allclose(out["gen"]["w"], params["gen"]["w"])
         np.testing.assert_array_equal(out["dis_img"]["w"], params["dis_img"]["w"])
+
+
+class TestMoCoGANIntegration:
+    def test_rk4_step_over_full_video_gan(self):
+        """One ODE-GAN rk4 step over the complete MoCoGAN triple (the
+        integration the reference's trainer signature promises at
+        stage2/ode_training.py:5 but never exercises)."""
+        from ganode_tpu.models import (
+            PatchImageDiscriminator, VideoDiscriminator, make_generator)
+        from ganode_tpu.train import ODEGANTrainer, make_mocogan_losses
+
+        T = 8
+        gen = make_generator("ode", n_channels=1, trunk="mnist28", ngf=8,
+                             dim_z_content=8, dim_z_motion=4, video_length=T)
+        dis_img = PatchImageDiscriminator(ndf=8)
+        dis_vid = VideoDiscriminator(ksize=2, ndf=8)
+        k = jax.random.PRNGKey(0)
+        gv = gen.init({"params": k, "sample": k}, 2)
+        iv = dis_img.init(k, jnp.zeros((2, 28, 28, 1)))
+        vv = dis_vid.init(k, jnp.zeros((2, T, 28, 28, 1)))
+        params = {"gen": gv["params"], "dis_img": iv["params"],
+                  "dis_vid": vv["params"]}
+
+        g_loss, di_loss, dv_loss = make_mocogan_losses(
+            gen, dis_img, dis_vid, gv["batch_stats"], iv["batch_stats"],
+            vv["batch_stats"], batch_size=2)
+        trainer = ODEGANTrainer(g_loss=g_loss, d_img_loss=di_loss,
+                                d_vid_loss=dv_loss, lr=0.01, reg=0.01,
+                                method="rk4")
+
+        rng = np.random.RandomState(0)
+        imgs = jnp.asarray(rng.uniform(-1, 1, (2, 28, 28, 1)), jnp.float32)
+        vids = jnp.asarray(rng.uniform(-1, 1, (2, T, 28, 28, 1)), jnp.float32)
+
+        p1 = trainer.step(params, jax.random.PRNGKey(1), imgs, model="dis_img")
+        p2 = trainer.step(p1, jax.random.PRNGKey(2), vids, model="dis_vid")
+        p3 = trainer.step(p2, jax.random.PRNGKey(3), model="gen")
+
+        def changed(a, b):
+            return any(not np.allclose(x, y) for x, y in
+                       zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+        assert changed(params["dis_img"], p1["dis_img"])
+        assert not changed(params["gen"], p1["gen"])       # D step leaves G
+        assert changed(p1["dis_vid"], p2["dis_vid"])
+        assert changed(p2["gen"], p3["gen"])               # G step moves G
+        loss_after = float(g_loss(p3, jax.random.PRNGKey(9), None))
+        assert np.isfinite(loss_after)
