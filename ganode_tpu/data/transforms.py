@@ -11,7 +11,7 @@ All transforms take/return channels-last arrays; videos are (T, H, W, C).
 """
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

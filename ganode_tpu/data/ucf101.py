@@ -24,7 +24,7 @@ from typing import Dict, Iterator, List, Optional, Tuple
 import jax
 import numpy as np
 
-from .video import probe_length, read_video, resize_crop
+from .video import read_video, resize_crop
 
 _FRAMES_FILE = "frames.u8"
 _INDEX_FILE = "index.npz"

@@ -4,8 +4,6 @@ offline environment; for publication-grade FVD swap in I3D features).
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

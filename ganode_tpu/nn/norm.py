@@ -6,7 +6,6 @@ beta near 0.
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 

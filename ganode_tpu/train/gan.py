@@ -25,8 +25,7 @@ semantics match the reference:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def synthetic_moving_shapes(n_videos, T, size=64, seed=0):
+    """Color videos of a bright square translating along a random line — the
+    learnable-structure stand-in for UCF101 clips (no egress in this env)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    videos = np.full((n_videos, T, size, size, 3), -1.0, np.float32)
+    for i in range(n_videos):
+        color = rng.uniform(0.2, 1.0, 3)
+        x0, y0 = rng.randint(4, size - 16, 2)
+        dx, dy = rng.randint(-2, 3, 2)
+        for t in range(T):
+            x = int(np.clip(x0 + dx * t, 0, size - 12))
+            y = int(np.clip(y0 + dy * t, 0, size - 12))
+            videos[i, t, y:y + 12, x:x + 12, :] = color
+    return videos
+
+
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--config", default="mnist_ode",
+                   choices=["mnist_ode", "ucf_ode"])
     p.add_argument("--steps", type=int, default=1500)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--n-videos", type=int, default=512)
@@ -45,15 +65,18 @@ def main():
     from ganode_tpu.utils.gifs import save_sample_grid
 
     os.makedirs(args.workdir, exist_ok=True)
-    config = get_config("mnist_ode", batch_size=args.batch_size)
+    config = get_config(args.config, batch_size=args.batch_size)
     if args.tiny:
         config = config.__class__(**{**config.__dict__, "ngf": 8, "ndf": 8,
                                      "dim_z_content": 8, "dim_z_motion": 4,
                                      "d_iters": 1})
     trainer = build_trainer(config)
 
-    videos_np, _ = synthetic_rotmnist(config, n_videos=args.n_videos)
-    videos_np = videos_np * 2.0 - 1.0  # [-1, 1] so reals match the tanh fakes
+    if args.config == "ucf_ode":
+        videos_np = synthetic_moving_shapes(args.n_videos, config.video_length)
+    else:
+        videos_np, _ = synthetic_rotmnist(config, n_videos=args.n_videos)
+        videos_np = videos_np * 2.0 - 1.0  # [-1,1] so reals match tanh fakes
     videos = jnp.asarray(videos_np)
 
     key = jax.random.PRNGKey(0)

@@ -202,3 +202,27 @@ def test_video_discriminator_rejects_short_clips():
     disc = VideoDiscriminator(ksize=2, ndf=8)
     with pytest.raises(ValueError, match="at least 6 frames"):
         disc.init(jax.random.PRNGKey(0), jnp.zeros((2, 4, 28, 28, 1)))
+
+
+class TestCompat:
+    def test_generator_session_torch_layouts(self):
+        from ganode_tpu.compat import GeneratorSession
+        gen = make_generator("ode", n_channels=1, trunk="mnist28", ngf=8,
+                             dim_z_content=8, dim_z_motion=4, video_length=8)
+        sess = GeneratorSession(gen, seed=0)
+        videos, labels = sess.sample_videos(3)
+        assert videos.shape == (3, 1, 8, 28, 28)  # (B, C, T, H, W)
+        assert labels is None
+        images, aux = sess.sample_images(3)
+        assert images.shape == (3, 1, 28, 28)
+        # implicit RNG advances between calls (the reference's global-RNG feel)
+        v2, _ = sess.sample_videos(3)
+        assert not np.allclose(np.asarray(videos), np.asarray(v2))
+
+    def test_session_video_len_override(self):
+        from ganode_tpu.compat import GeneratorSession
+        gen = make_generator("gru", n_channels=1, trunk="mnist28", ngf=8,
+                             dim_z_content=8, dim_z_motion=4, video_length=8)
+        sess = GeneratorSession(gen)
+        videos, _ = sess.sample_videos(2, video_len=12)
+        assert videos.shape == (2, 1, 12, 28, 28)
