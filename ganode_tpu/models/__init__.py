@@ -1,6 +1,7 @@
 """MoCoGAN model zoo with pluggable neural-differential-equation motion."""
 from .mocogan import (
     CategoricalVideoDiscriminator,
+    SNImageDiscriminator,
     DCGANTrunk64,
     ImageDiscriminator,
     MNISTTrunk28,
@@ -67,6 +68,7 @@ __all__ = [
     "MotionSDE",
     "PatchImageDiscriminator",
     "PatchVideoDiscriminator",
+    "SNImageDiscriminator",
     "VideoDiscriminator",
     "VideoGenerator",
     "make_generator",

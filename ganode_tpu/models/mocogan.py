@@ -383,6 +383,32 @@ class VideoDiscriminator(nn.Module):
         return jnp.squeeze(h).astype(jnp.float32), None
 
 
+class SNImageDiscriminator(nn.Module):
+    """Spectrally-normalized image discriminator (SN-GAN style, no BatchNorm) —
+    the standard critic for the WGAN/WGAN-GP configs, built from the stage-1
+    spectral-norm layer (reference stage1/GResBlock.py:10-64). Power-iteration
+    state lives in the 'spectral' collection the trainer threads."""
+
+    ndf: int = 64
+    use_noise: bool = False
+    noise_sigma: float | None = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        from ..nn import SNConv
+
+        noise = lambda h: Noise(self.use_noise, self.noise_sigma or 0.0)(h)
+        h = x
+        for feats in (self.ndf, self.ndf * 2, self.ndf * 4):
+            h = SNConv(feats, (4, 4), strides=(2, 2),
+                       padding=((1, 1), (1, 1)), use_bias=False)(
+                noise(h), update_stats=train)
+            h = leaky_relu(h)
+        h = SNConv(1, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+                   use_bias=False)(h, update_stats=train)
+        return jnp.squeeze(h).astype(jnp.float32), None
+
+
 class CategoricalVideoDiscriminator(nn.Module):
     """Video discriminator emitting (realness logits, category logits)
     (reference models/mocogan.py:167-182)."""

@@ -135,32 +135,45 @@ class GANTrainer:
         return out, net.replace(batch_stats=mut["batch_stats"],
                                 spectral=mut.get("spectral", net.spectral))
 
-    def _d_forward(self, mod, params, batch_stats, x, key):
-        variables = {"params": params, "batch_stats": batch_stats}
+    def _d_forward(self, mod, params, extras: dict, x, key):
+        """extras: {'batch_stats': ..., 'spectral': ...(optional)}. Returns
+        (logits, refreshed extras) — spectral-normed discriminators need their
+        power-iteration state threaded exactly like BatchNorm stats."""
+        variables = {"params": params, **extras}
         (logits, _), mut = mod.apply(
-            variables, x, mutable=["batch_stats"],
+            variables, x, mutable=list(extras.keys()),
             rngs={"noise": key})
-        return logits, mut["batch_stats"]
+        return logits, {**extras, **mut}
+
+    @staticmethod
+    def _extras_of(net: NetState) -> dict:
+        extras = {"batch_stats": net.batch_stats}
+        if net.spectral is not None:
+            extras["spectral"] = net.spectral
+        return extras
 
     def _d_update(self, mod, d_state: NetState, real, fake, key) -> tuple:
         k_noise_r, k_noise_f, k_gp, k_pnoise = jax.random.split(key, 4)
 
         def loss_fn(params):
-            pr, bs1 = self._d_forward(mod, params, d_state.batch_stats, real, k_noise_r)
-            pf, bs2 = self._d_forward(mod, params, bs1, fake, k_noise_f)
+            pr, ex1 = self._d_forward(mod, params, self._extras_of(d_state),
+                                      real, k_noise_r)
+            pf, ex2 = self._d_forward(mod, params, ex1, fake, k_noise_f)
             loss = self.d_loss_fn(pr, pf)
             if self.gp_weight > 0:
                 d_apply = lambda x: mod.apply(
-                    {"params": params, "batch_stats": bs2}, x, train=False)[0]
+                    {"params": params, **ex2}, x, train=False)[0]
                 loss = loss + self.gp_weight * gradient_penalty(d_apply, real, fake, k_gp)
-            return loss, bs2
+            return loss, ex2
 
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_state.params)
+        (loss, new_ex), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_state.params)
         updates, new_opt = self.tx.update(grads, d_state.opt_state, d_state.params)
         new_params = optax.apply_updates(d_state.params, updates)
         if self.param_noise_sigma > 0:
             new_params = _add_param_noise(new_params, k_pnoise, self.param_noise_sigma)
-        return d_state.replace(params=new_params, batch_stats=new_bs,
+        return d_state.replace(params=new_params,
+                               batch_stats=new_ex["batch_stats"],
+                               spectral=new_ex.get("spectral", d_state.spectral),
                                opt_state=new_opt), loss
 
     def _g_update(self, state: GANState, key) -> tuple:
@@ -171,16 +184,16 @@ class GANTrainer:
             g_net = state.gen.replace(params=g_params)
             fake_vid, g_net = self._sample(g_net, k_vid, n, "sample_videos")
             fake_img, g_net = self._sample(g_net, k_img, n, "sample_images")
-            pf_vid, dv_bs = self._d_forward(
-                self.dis_vid, state.dis_vid.params, state.dis_vid.batch_stats,
-                fake_vid, k_dv)
-            pf_img, di_bs = self._d_forward(
-                self.dis_img, state.dis_img.params, state.dis_img.batch_stats,
-                fake_img, k_di)
+            pf_vid, dv_ex = self._d_forward(
+                self.dis_vid, state.dis_vid.params,
+                self._extras_of(state.dis_vid), fake_vid, k_dv)
+            pf_img, di_ex = self._d_forward(
+                self.dis_img, state.dis_img.params,
+                self._extras_of(state.dis_img), fake_img, k_di)
             loss = self.g_loss_fn(pf_vid) + self.g_loss_fn(pf_img)
-            return loss, (g_net.batch_stats, g_net.spectral, dv_bs, di_bs)
+            return loss, (g_net.batch_stats, g_net.spectral, dv_ex, di_ex)
 
-        (loss, (g_bs, g_spec, dv_bs, di_bs)), grads = jax.value_and_grad(
+        (loss, (g_bs, g_spec, dv_ex, di_ex)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.gen.params)
         updates, new_opt = self.tx.update(grads, state.gen.opt_state, state.gen.params)
         new_params = optax.apply_updates(state.gen.params, updates)
@@ -188,8 +201,12 @@ class GANTrainer:
             new_params = _add_param_noise(new_params, k_pnoise, self.param_noise_sigma)
         gen = state.gen.replace(params=new_params, batch_stats=g_bs,
                                 spectral=g_spec, opt_state=new_opt)
-        dis_vid = state.dis_vid.replace(batch_stats=dv_bs)
-        dis_img = state.dis_img.replace(batch_stats=di_bs)
+        dis_vid = state.dis_vid.replace(
+            batch_stats=dv_ex["batch_stats"],
+            spectral=dv_ex.get("spectral", state.dis_vid.spectral))
+        dis_img = state.dis_img.replace(
+            batch_stats=di_ex["batch_stats"],
+            spectral=di_ex.get("spectral", state.dis_img.spectral))
         return state.replace(gen=gen, dis_vid=dis_vid, dis_img=dis_img), loss
 
     # ------------------------------------------------------------------ step

@@ -164,3 +164,28 @@ def test_device_data_step():
     s2, m2 = step(state_b, videos, jax.random.PRNGKey(2))
     np.testing.assert_allclose(float(m1["gen_loss"]), float(m2["gen_loss"]),
                                rtol=1e-5)
+
+
+def test_sn_discriminator_spectral_state_threads_through_training():
+    """A spectrally-normalized discriminator's power-iteration state must
+    advance through the jitted alternating step (latent-bug regression test)."""
+    from ganode_tpu.models import SNImageDiscriminator
+
+    gen = make_generator("gru", n_channels=1, trunk="mnist28", video_length=T,
+                         dim_z_content=10, dim_z_motion=4, ngf=NGF)
+    trainer = GANTrainer(
+        gen=gen,
+        dis_img=SNImageDiscriminator(ndf=NGF),
+        dis_vid=VideoDiscriminator(ksize=2, ndf=NGF),
+        batch_size=B, d_iters=1, loss="wasserstein")
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    assert state.dis_img.spectral is not None
+    images, videos = _fake_batches(jax.random.PRNGKey(1), d_iters=1)
+    new_state, metrics = trainer.train_step(state, images, videos,
+                                            jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["dis_img_loss"]))
+    changed = any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(state.dis_img.spectral),
+                        jax.tree.leaves(new_state.dis_img.spectral)))
+    assert changed
