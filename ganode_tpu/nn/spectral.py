@@ -76,7 +76,7 @@ class SNConv(nn.Module):
 
         strides = self.strides if isinstance(self.strides, (tuple, list)) else (self.strides,) * len(ksize)
         y = jax.lax.conv_general_dilated(
-            x, w_sn,
+            x.astype(w_sn.dtype), w_sn,
             window_strides=tuple(strides),
             padding=self.padding if isinstance(self.padding, str) else tuple(self.padding),
             dimension_numbers=_dim_numbers(len(ksize)),
@@ -113,7 +113,7 @@ class SNDense(nn.Module):
         sigma, u_new, _ = spectral_normalize(w2d, u_var.value, self.n_power_iterations)
         if update_stats and not self.is_initializing():
             u_var.value = u_new
-        y = x @ (kernel / sigma)
+        y = x.astype(kernel.dtype) @ (kernel / sigma)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
         return y
