@@ -11,6 +11,7 @@ from .rotmnist import (
     load_rotmnist,
     rotate_videos,
 )
+from .video import default_resize_geometry, resample_frame_indices, resize_crop
 from .ucf101 import (
     PackedVideoDataset,
     UCF101ClipSampler,
@@ -32,6 +33,9 @@ __all__ = [
     "UCF101ClipSampler",
     "UCF101ImageSampler",
     "build_rotmnist",
+    "default_resize_geometry",
+    "resample_frame_indices",
+    "resize_crop",
     "load_mnist_idx",
     "load_rotmnist",
     "make_global_batch",

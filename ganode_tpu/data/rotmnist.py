@@ -122,9 +122,15 @@ def build_rotmnist(
 
 
 def load_rotmnist(path: str, *, train: bool = True, split: int = 500,
-                  num_frames: int = 16) -> Tuple[np.ndarray, np.ndarray]:
+                  num_frames: int = 16,
+                  digits: Optional[Tuple[int, ...]] = None,
+                  ) -> Tuple[np.ndarray, np.ndarray]:
     """Load .npz (ours) or .mat (the reference's interchange format). Returns
-    videos (N, T, 28, 28, 1) float32 and labels (N,)."""
+    videos (N, T, 28, 28, 1) float32 and labels (N,).
+
+    ``digits`` filters to specific classes before the train/test split — a
+    mixed-digit file with digits=(3,) behaves exactly like the reference's
+    pre-filtered rot-mnist-3s.mat (mnist_moco_ode_wgan.py:30)."""
     if path.endswith(".mat"):
         from scipy.io import loadmat
         data = loadmat(path)
@@ -135,6 +141,11 @@ def load_rotmnist(path: str, *, train: bool = True, split: int = 500,
         X, Y = data["X"], data["Y"]
     X = X.reshape(-1, num_frames, 28, 28, 1).astype(np.float32)
     Y = Y.reshape(-1).astype(np.int64)
+    if digits is not None:
+        keep = np.isin(Y, digits)
+        X, Y = X[keep], Y[keep]
+        if len(X) == 0:
+            raise ValueError(f"no videos with digits {digits} in {path}")
     if train:
         return X[:split], Y[:split]
     return X[split:], Y[split:]

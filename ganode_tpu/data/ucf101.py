@@ -24,7 +24,7 @@ from typing import Dict, Iterator, List, Optional, Tuple
 import jax
 import numpy as np
 
-from .video import read_video, resize_crop
+from .video import probe_fps, read_video, resample_frame_indices, resize_crop
 
 _FRAMES_FILE = "frames.u8"
 _INDEX_FILE = "index.npz"
@@ -62,10 +62,16 @@ def pack_ucf101(
     fold: int = 1,
     n_frame: int = 16,
     image_size: int = 64,
+    target_fps: Optional[float] = None,
     max_videos: Optional[int] = None,
     progress: bool = True,
 ) -> str:
-    """Decode + preprocess the whole split into ``out_dir`` packed shards."""
+    """Decode + preprocess the whole split into ``out_dir`` packed shards.
+
+    ``target_fps`` resamples each video's frames to that rate at pack time
+    (reference dataset/video/video_utils.py:350-388 semantics via
+    resample_frame_indices); per-video source fps is recorded in meta.json.
+    """
     os.makedirs(out_dir, exist_ok=True)
     ann = os.path.join(root, annotation_folder)
     vid_root = os.path.join(root, video_folder)
@@ -74,7 +80,7 @@ def pack_ucf101(
     if max_videos:
         rel_paths = rel_paths[:max_videos]
 
-    offsets, lengths, labels, kept_paths = [], [], [], []
+    offsets, lengths, labels, kept_paths, source_fps = [], [], [], [], []
     frames_path = os.path.join(out_dir, _FRAMES_FILE)
     offset = 0
     with open(frames_path, "wb") as out:
@@ -93,6 +99,10 @@ def pack_ucf101(
             if not os.path.exists(path):
                 continue
             video = read_video(path)
+            fps = probe_fps(path)
+            if target_fps:
+                video = video[resample_frame_indices(video.shape[0], fps,
+                                                     target_fps)]
             if video.shape[0] < n_frame:
                 continue
             video = resize_crop(video, image_size)
@@ -101,6 +111,7 @@ def pack_ucf101(
             lengths.append(video.shape[0])
             labels.append(class_to_idx[cls])
             kept_paths.append(rel)
+            source_fps.append(fps)
             offset += video.shape[0]
 
     np.savez(
@@ -114,6 +125,7 @@ def pack_ucf101(
             "image_size": image_size, "n_frame": n_frame, "channels": 3,
             "classes": classes, "paths": kept_paths,
             "total_frames": offset,
+            "target_fps": target_fps, "source_fps": source_fps,
         }, f)
     return out_dir
 

@@ -69,13 +69,68 @@ def read_video(path: str, start: int = 0, end: Optional[int] = None) -> np.ndarr
     return np.stack(frames)
 
 
+def default_resize_geometry(image_size: int) -> Tuple[Tuple[int, int], int]:
+    """Scale the reference's 64 -> resize(64, 85) + x-crop[10:74] recipe
+    (reference dataset/ucf101new.py:31,73-78) proportionally to any output size:
+    128 -> resize(128, 170) + x-crop[20:148]. Returns ((h, w), x_offset)."""
+    w = int(round(image_size * 85 / 64))
+    x_offset = int(round(image_size * 10 / 64))
+    if x_offset + image_size > w:  # guard tiny sizes against rounding
+        x_offset = w - image_size
+    return (image_size, w), x_offset
+
+
 def resize_crop(video: np.ndarray, image_size: int = 64,
-                resize_hw: Tuple[int, int] = (64, 85), x_offset: int = 10) -> np.ndarray:
-    """Bicubic resize to (64, 85) then crop x[10 : 10+64] -> (T, 64, 64, C),
-    matching the reference's spatial pipeline (dataset/ucf101new.py:31,73-78)."""
+                resize_hw: Optional[Tuple[int, int]] = None,
+                x_offset: Optional[int] = None) -> np.ndarray:
+    """Bicubic resize then x-crop -> (T, image_size, image_size, C).
+
+    Geometry defaults to the reference's spatial pipeline scaled to
+    ``image_size`` (see default_resize_geometry); at 64 this is exactly the
+    reference's resize(64, 85) + crop x[10:74] (dataset/ucf101new.py:31,73-78).
+    """
     _require_cv2()
-    h, w = resize_hw
+    default_hw, default_x = default_resize_geometry(image_size)
+    h, w = resize_hw if resize_hw is not None else default_hw
+    if x_offset is None:
+        x_offset = default_x
+    if x_offset + image_size > w or h < image_size:
+        raise ValueError(
+            f"resize geometry (h={h}, w={w}, x_offset={x_offset}) cannot "
+            f"produce a {image_size}x{image_size} crop")
     out = np.empty((video.shape[0], h, w, video.shape[-1]), video.dtype)
     for t in range(video.shape[0]):
         out[t] = cv2.resize(video[t], (w, h), interpolation=cv2.INTER_CUBIC)
     return out[:, :, x_offset:x_offset + image_size, :]
+
+
+def probe_fps(path: str) -> float:
+    """Container-reported frames-per-second (0.0 when unknown)."""
+    _require_cv2()
+    cap = cv2.VideoCapture(path)
+    try:
+        fps = float(cap.get(cv2.CAP_PROP_FPS))
+    finally:
+        cap.release()
+    return fps if np.isfinite(fps) and fps > 0 else 0.0
+
+
+def resample_frame_indices(n_frames: int, original_fps: float,
+                           target_fps: Optional[float]) -> np.ndarray:
+    """Frame indices that resample an n_frames clip to target_fps.
+
+    Matches the semantics of the reference's VideoClips resampling
+    (reference dataset/video/video_utils.py:350-388): the output has
+    floor(n_frames * target/original) frames; an integer fps ratio becomes a
+    pure stride, otherwise indices are floor(arange(m) * original/target).
+    No resampling (target None/<=0 or unknown source fps) is the identity.
+    """
+    if not target_fps or target_fps <= 0 or not original_fps or original_fps <= 0:
+        return np.arange(n_frames, dtype=np.int64)
+    step = original_fps / target_fps
+    m = int(np.floor(n_frames * target_fps / original_fps))
+    m = max(m, 1) if n_frames > 0 else 0
+    if float(step).is_integer():
+        return np.arange(0, n_frames, int(step), dtype=np.int64)[:m]
+    idx = np.floor(np.arange(m, dtype=np.float64) * step).astype(np.int64)
+    return np.minimum(idx, max(n_frames - 1, 0))

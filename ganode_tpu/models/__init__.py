@@ -2,6 +2,7 @@
 from .mocogan import (
     CategoricalVideoDiscriminator,
     SNImageDiscriminator,
+    SNVideoDiscriminator,
     DCGANTrunk64,
     ImageDiscriminator,
     MNISTTrunk28,
@@ -69,6 +70,7 @@ __all__ = [
     "PatchImageDiscriminator",
     "PatchVideoDiscriminator",
     "SNImageDiscriminator",
+    "SNVideoDiscriminator",
     "VideoDiscriminator",
     "VideoGenerator",
     "make_generator",

@@ -243,7 +243,7 @@ class VideoGenerator(nn.Module):
         """
         video_len = self.video_length
         key = self.make_rng("sample")
-        k_content, k_frame = jax.random.split(key)
+        k_content, k_frame, k_categ = jax.random.split(key, 3)
 
         z_content = jax.random.normal(k_content, (n, self.dim_z_content))
         z_motion = self.motion(n, video_len, train=train)    # (n, T, dim)
@@ -254,8 +254,10 @@ class VideoGenerator(nn.Module):
 
         parts = [z_content]
         if self.dim_z_category > 0:
+            # distinct key from the frame draw — the category and frame-index
+            # samples must be independent
             one_hot = jax.nn.one_hot(
-                jax.random.randint(k_frame, (n,), 0, self.dim_z_category),
+                jax.random.randint(k_categ, (n,), 0, self.dim_z_category),
                 self.dim_z_category)
             parts.append(one_hot)
         parts.append(z_motion)
@@ -406,6 +408,46 @@ class SNImageDiscriminator(nn.Module):
             h = leaky_relu(h)
         h = SNConv(1, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
                    use_bias=False)(h, update_stats=train)
+        return jnp.squeeze(h).astype(jnp.float32), None
+
+
+class SNVideoDiscriminator(nn.Module):
+    """Spectrally-normalized video critic (no BatchNorm) — the WGAN-GP-safe
+    counterpart of VideoDiscriminator. Same geometry as the reference's
+    VideoDiscriminator (models/mocogan.py:129-164: cubic ``ksize`` kernels,
+    stride (1, 2, 2), unpadded time) but every conv is spectrally normalized
+    via the stage-1 SN layer (reference stage1/GResBlock.py:10-64) and the BN
+    layers are dropped: BatchNorm in a WGAN-GP critic correlates samples inside
+    the batch and breaks the per-sample gradient penalty. Power-iteration state
+    lives in the 'spectral' collection the trainer threads."""
+
+    n_output_neurons: int = 1
+    ndf: int = 64
+    ksize: int = 4
+    use_noise: bool = False
+    noise_sigma: float | None = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        from ..nn import SNConv
+
+        min_t = 5 * self.ksize - 4
+        if x.shape[1] < min_t:
+            raise ValueError(
+                f"SNVideoDiscriminator(ksize={self.ksize}) needs clips with at "
+                f"least {min_t} frames, got T={x.shape[1]}")
+        noise = lambda h: Noise(self.use_noise, self.noise_sigma or 0.0)(h)
+        k = (self.ksize,) * 3
+        s = (1, 2, 2)
+        p = ((0, 0), (1, 1), (1, 1))
+        h = x
+        for feats in (self.ndf, self.ndf * 2, self.ndf * 4, self.ndf * 8):
+            h = SNConv(feats, k, strides=s, padding=p, use_bias=False)(
+                noise(h), update_stats=train)
+            h = leaky_relu(h)
+        h = SNConv(self.n_output_neurons, k, strides=(1, 1, 1),
+                   padding=((0, 0), (0, 0), (0, 0)), use_bias=False)(
+            h, update_stats=train)
         return jnp.squeeze(h).astype(jnp.float32), None
 
 

@@ -136,8 +136,16 @@ def _solve(f, y0, ts, ctrl: _Controller, return_stats: bool):
             prev_c = jnp.maximum(prev_err_, 1e-10)
             factor = ctrl.safety * err_c ** (-ctrl.beta1) * prev_c ** (ctrl.beta2)
             factor = jnp.clip(factor, ctrl.factor_min, ctrl.factor_max)
-            # do not grow the step off a clipped (shortened) attempt
+            # Controller acts on the attempted (possibly clipped) step, but an
+            # ACCEPTED attempt that was only short because it was clipped to
+            # the output time must not shrink the carried step to the interval
+            # width — dense output grids would otherwise pay extra NFE on every
+            # landing. Keep at least the unclipped proposal in that case.
+            was_clipped = jnp.abs(h_clip) < jnp.abs(h_)
             h_next_mag = jnp.abs(h_clip) * factor
+            h_next_mag = jnp.where(jnp.logical_and(accept, was_clipped),
+                                   jnp.maximum(h_next_mag, jnp.abs(h_)),
+                                   h_next_mag)
             h_next = direction * h_next_mag
             t_new = jnp.where(accept, t_ + h_clip, t_)
             y_new = jax.tree.map(lambda a, b: jnp.where(accept, a, b), y1, y_)

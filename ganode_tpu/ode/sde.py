@@ -61,6 +61,43 @@ def _diag_normals(key, k, shape, dtype):
     return jax.random.normal(jax.random.fold_in(key, k), shape, dtype)
 
 
+def _diag_jacobian(g_fn, t, y):
+    """Exact diag(J_g): dg_i/dy_i per state element, via basis JVPs vmapped
+    over each leaf's trailing axis.
+
+    Diagonal Milstein needs the true diagonal of the diffusion Jacobian; the
+    common surrogate (directional derivative of g along g) equals it only for
+    elementwise diffusions, and this library's MLP diffusions are dense. The
+    basis-JVP construction is exact for any cross-FEATURE dependence; it
+    assumes the diffusion does not couple leading (batch) axes, which the
+    diagonal-noise contract already implies (one independent Brownian channel
+    per state element).
+    """
+    flat, treedef = jax.tree.flatten(y)
+
+    def diag_for_leaf(leaf_idx, leaf):
+        def jvp_at(tangent_leaf):
+            tangent = treedef.unflatten([
+                tangent_leaf if j == leaf_idx else jnp.zeros_like(l)
+                for j, l in enumerate(flat)])
+            _, dg = jax.jvp(lambda y_: g_fn(t, y_), (y,), (tangent,))
+            return jax.tree.flatten(dg)[0][leaf_idx]
+
+        if leaf.ndim == 0:
+            return jvp_at(jnp.ones_like(leaf))
+        d = leaf.shape[-1]
+
+        def one(i):
+            e = jnp.zeros_like(leaf).at[..., i].set(1.0)
+            return jvp_at(e)[..., i]
+
+        cols = jax.vmap(one)(jnp.arange(d))          # (d, *leading)
+        return jnp.moveaxis(cols, 0, -1)
+
+    return treedef.unflatten(
+        [diag_for_leaf(j, l) for j, l in enumerate(flat)])
+
+
 def sdeint(
     drift: Callable[..., Any],
     diffusion: Callable[..., Any],
@@ -111,15 +148,12 @@ def sdeint(
         gv = g(t, y)
         y1 = jax.tree.map(lambda yi, fi, gi, wi: yi + fi * h + gi * wi, y, fv, gv, dW)
         if method == "milstein":
-            # Diagonal Milstein: + 0.5 * g * diag(dg/dy) * (dW^2 - h).
-            # diag(J_g) per leaf via vmapped basis JVPs is overkill for the small
-            # latent states this library solves; use the standard elementwise
-            # surrogate: directional derivative of g along g (exact when each
-            # g_i depends only on y_i, the classical diagonal-Milstein setting).
-            _, dg = jax.jvp(lambda y_: g(t, y_), (y,), (gv,))
+            # Diagonal Milstein: + 0.5 * g_i * (dg_i/dy_i) * (dW_i^2 - h),
+            # with the TRUE Jacobian diagonal (exact for dense diffusions).
+            diag = _diag_jacobian(g, t, y)
             y1 = jax.tree.map(
-                lambda yi, gdgi, wi: yi + 0.5 * gdgi * (wi * wi - h),
-                y1, dg, dW,
+                lambda yi, gi, di, wi: yi + 0.5 * gi * di * (wi * wi - h),
+                y1, gv, diag, dW,
             )
         return y1
 
@@ -147,6 +181,13 @@ def sdeint(
     ys = jax.tree.map(lambda a, b: jnp.concatenate([a[None], b], 0), y0, ys_tail)
     if return_stats:
         n_steps = (ts.shape[0] - 1) * spi
-        per_step = 2 if method == "euler" else 4  # f, g (+ jvp pair for milstein)
+        if method == "euler":
+            per_step = 2  # f, g
+        else:
+            # f, g, plus one JVP (~2 g-evals) per trailing-dim basis vector
+            diag_jvps = sum(
+                (l.shape[-1] if getattr(l, "ndim", 0) else 1)
+                for l in flat_y0)
+            per_step = 2 + 2 * diag_jvps
         return ys, SolveStats(nfe=per_step * n_steps, n_steps=n_steps)
     return ys

@@ -153,7 +153,7 @@ class GANTrainer:
         return extras
 
     def _d_update(self, mod, d_state: NetState, real, fake, key) -> tuple:
-        k_noise_r, k_noise_f, k_gp, k_pnoise = jax.random.split(key, 4)
+        k_noise_r, k_noise_f, k_gp, k_gp_noise, k_pnoise = jax.random.split(key, 5)
 
         def loss_fn(params):
             pr, ex1 = self._d_forward(mod, params, self._extras_of(d_state),
@@ -161,8 +161,11 @@ class GANTrainer:
             pf, ex2 = self._d_forward(mod, params, ex1, fake, k_noise_f)
             loss = self.d_loss_fn(pr, pf)
             if self.gp_weight > 0:
+                # the 'noise' rng must be supplied even in eval-style applies:
+                # use_noise=True discriminators call make_rng unconditionally
                 d_apply = lambda x: mod.apply(
-                    {"params": params, **ex2}, x, train=False)[0]
+                    {"params": params, **ex2}, x, train=False,
+                    rngs={"noise": k_gp_noise})[0]
                 loss = loss + self.gp_weight * gradient_penalty(d_apply, real, fake, k_gp)
             return loss, ex2
 

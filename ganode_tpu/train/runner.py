@@ -22,6 +22,9 @@ from ..data import (
 from ..models import (
     ImageDiscriminator,
     PatchImageDiscriminator,
+    PatchVideoDiscriminator,
+    SNImageDiscriminator,
+    SNVideoDiscriminator,
     VideoDiscriminator,
     make_generator,
 )
@@ -54,10 +57,22 @@ def build_trainer(config: ExperimentConfig) -> GANTrainer:
     )
     if config.image_disc == "patch":
         dis_img = PatchImageDiscriminator(ndf=config.ndf, dtype=dtype)
-    else:
+    elif config.image_disc == "sn":
+        dis_img = SNImageDiscriminator(ndf=config.ndf)
+    elif config.image_disc == "full":
         dis_img = ImageDiscriminator(ndf=config.ndf, dtype=dtype)
-    dis_vid = VideoDiscriminator(ksize=config.video_disc_ksize, ndf=config.ndf,
-                                 dtype=dtype)
+    else:
+        raise ValueError(f"unknown image_disc {config.image_disc!r}")
+    if config.video_disc == "sn":
+        dis_vid = SNVideoDiscriminator(ksize=config.video_disc_ksize,
+                                       ndf=config.ndf)
+    elif config.video_disc == "patch":
+        dis_vid = PatchVideoDiscriminator(ndf=config.ndf, dtype=dtype)
+    elif config.video_disc == "full":
+        dis_vid = VideoDiscriminator(ksize=config.video_disc_ksize,
+                                     ndf=config.ndf, dtype=dtype)
+    else:
+        raise ValueError(f"unknown video_disc {config.video_disc!r}")
     return GANTrainer(
         gen=gen, dis_img=dis_img, dis_vid=dis_vid,
         batch_size=config.batch_size, d_iters=config.d_iters,
@@ -79,7 +94,11 @@ def synthetic_rotmnist(config: ExperimentConfig, n_videos: int = 64,
     for i in range(n_videos):
         y, x = rng.randint(4, 18, 2)
         imgs[i, y:y + 8, x:x + 8] = 0.5
-    labels = rng.randint(0, 10, n_videos)
+    if config.digits:  # synthetic labels honor the class filter too
+        labels = np.asarray(config.digits)[rng.randint(0, len(config.digits),
+                                                       n_videos)]
+    else:
+        labels = rng.randint(0, 10, n_videos)
     X, Y = rotate_videos(imgs, labels, num_frames=config.video_length)
     return X.reshape(-1, config.video_length, 28, 28, 1), Y
 
@@ -104,7 +123,8 @@ def build_data(config: ExperimentConfig, *, synthetic: bool = False):
             videos, labels = synthetic_rotmnist(config)
         else:
             videos, labels = load_rotmnist(
-                config.data_path, train=True, num_frames=config.video_length)
+                config.data_path, train=True, num_frames=config.video_length,
+                digits=config.digits)
         return (RotMNISTImages(videos, labels, config.batch_size),
                 RotMNISTVideos(videos, labels, config.batch_size))
     if config.dataset == "ucf101":
@@ -243,6 +263,8 @@ def _write_samples(trainer: GANTrainer, state, path: str,
     """8x8 grid GIF in eval mode (the reference flips g.eval()/g.train() around
     sampling, mnist_moco_ode.py:32-35)."""
     variables = {"params": state.gen.params, "batch_stats": state.gen.batch_stats}
+    if state.gen.spectral is not None:  # SN-bearing trunks (gres64/odegres64)
+        variables["spectral"] = state.gen.spectral
     (videos, _) = trainer.gen.apply(
         variables, n * n, method="sample_videos",
         rngs={"sample": jax.random.PRNGKey(int(state.step))}, train=False)

@@ -26,7 +26,8 @@ class ExperimentConfig:
     ngf: int = 64
     ndf: int = 64
     video_disc_ksize: int = 2
-    image_disc: str = "patch"         # patch | full
+    image_disc: str = "patch"         # patch | full | sn (spectral-norm critic)
+    video_disc: str = "full"          # full | patch | sn (spectral-norm critic)
     # fuse the motion solve into a Pallas TPU kernel (ode/gru variants)
     use_pallas: bool = False
     # conv/deconv compute dtype: 'float32' | 'bfloat16' (params stay f32)
@@ -110,6 +111,10 @@ def ucf_wgan_gp_128(**kw) -> ExperimentConfig:
     kw.setdefault("n_channels", 3)
     kw.setdefault("video_length", 32)
     kw.setdefault("video_disc_ksize", 4)
+    # WGAN-GP needs batch-norm-free critics (BN correlates samples inside the
+    # batch and breaks the per-sample gradient penalty): spectral-norm critics.
+    kw.setdefault("image_disc", "sn")
+    kw.setdefault("video_disc", "sn")
     kw.setdefault("loss", "wasserstein")
     kw.setdefault("gp_weight", 10.0)
     kw.setdefault("d_iters", 5)

@@ -25,6 +25,8 @@ def main():
     p.add_argument("--image-size", type=int, default=64)
     p.add_argument("--n-frame", type=int, default=16)
     p.add_argument("--max-videos", type=int, default=None)
+    p.add_argument("--target-fps", type=float, default=None,
+                   help="resample every video to this frame rate at pack time")
     args = p.parse_args()
 
     from ganode_tpu.data import pack_ucf101
@@ -35,7 +37,7 @@ def main():
         annotation_folder=args.annotation_folder,
         train=not args.test, fold=args.fold,
         n_frame=args.n_frame, image_size=args.image_size,
-        max_videos=args.max_videos,
+        target_fps=args.target_fps, max_videos=args.max_videos,
     )
     print(f"packed to {out}")
 

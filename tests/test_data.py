@@ -14,9 +14,11 @@ from ganode_tpu.data import (
     UCF101ClipSampler,
     UCF101ImageSampler,
     build_rotmnist,
+    default_resize_geometry,
     load_rotmnist,
     pack_arrays,
     prefetch,
+    resample_frame_indices,
     rotate_videos,
     transforms,
 )
@@ -263,6 +265,52 @@ class TestVideoDecodePack:
         assert clips.shape == (3, 16, 64, 64, 3)
         assert np.isfinite(clips).all()
 
+    def test_pack_and_sample_at_128(self, ucf_tree, tmp_path):
+        """128px pack -> sample roundtrip (the north-star config's geometry)."""
+        from ganode_tpu.data import pack_ucf101
+
+        out = pack_ucf101(ucf_tree, str(tmp_path / "packed128"), train=True,
+                          fold=1, image_size=128, progress=False)
+        ds = PackedVideoDataset(out)
+        assert len(ds) == 2
+        assert ds.frames.shape[1:] == (128, 128, 3)
+        s = UCF101ClipSampler(out, batch_size=2, n_frame=16)
+        clips, _ = s.sample(jax.random.PRNGKey(0))
+        assert clips.shape == (2, 16, 128, 128, 3)
+        assert np.isfinite(clips).all()
+        assert clips.min() >= -1.0 and clips.max() <= 1.0
+
+    def test_pack_with_fps_resampling(self, tmp_path):
+        """Variable-fps sources resampled to one target rate at pack time."""
+        import cv2
+        from ganode_tpu.data import pack_ucf101
+
+        root = tmp_path / "ucffps"
+        (root / "videos" / "Clap").mkdir(parents=True)
+        (root / "annotations").mkdir()
+        rng = np.random.RandomState(0)
+
+        def write(rel, frames, fps):
+            w = cv2.VideoWriter(str(root / "videos" / rel),
+                                cv2.VideoWriter_fourcc(*"MJPG"), fps,
+                                (320, 240))
+            for _ in range(frames):
+                w.write(rng.randint(0, 255, (240, 320, 3), dtype=np.uint8))
+            w.release()
+
+        write("Clap/v1.avi", 40, 25)   # already at target rate -> untouched
+        write("Clap/v2.avi", 40, 50)   # 2x target rate -> every other frame
+        (root / "annotations" / "classInd.txt").write_text("1 Clap\n")
+        (root / "annotations" / "trainlist01.txt").write_text(
+            "Clap/v1.avi 1\nClap/v2.avi 1\n")
+
+        out = pack_ucf101(str(root), str(tmp_path / "packedfps"), train=True,
+                          fold=1, n_frame=16, target_fps=25.0, progress=False)
+        ds = PackedVideoDataset(out)
+        assert list(ds.lengths) == [40, 20]
+        assert ds.meta["target_fps"] == 25.0
+        assert ds.meta["source_fps"] == [25.0, 50.0]
+
 
 class TestFrameFolder:
     @pytest.fixture()
@@ -332,3 +380,55 @@ def test_multi_scale_corner_crop():
     outs = [np.asarray(transforms.multi_scale_corner_crop(
         jax.random.PRNGKey(s), clip, 16)) for s in range(6)]
     assert any(not np.allclose(outs[0], o) for o in outs[1:])
+
+
+class TestResizeGeometry:
+    """The reference's 64 -> resize(64, 85) + x-crop[10:74] recipe
+    (dataset/ucf101new.py:31,73-78), scaled to any output size."""
+
+    def test_reference_recipe_at_64(self):
+        assert default_resize_geometry(64) == ((64, 85), 10)
+
+    def test_scaled_recipe_at_128(self):
+        assert default_resize_geometry(128) == ((128, 170), 20)
+
+    @pytest.mark.parametrize("size", [28, 64, 128, 256])
+    def test_resize_crop_output_square(self, size):
+        from ganode_tpu.data import resize_crop
+        video = np.random.RandomState(0).randint(
+            0, 255, (3, 240, 320, 3), np.uint8)
+        out = resize_crop(video, size)
+        assert out.shape == (3, size, size, 3)
+
+    def test_bad_geometry_raises(self):
+        from ganode_tpu.data import resize_crop
+        video = np.zeros((2, 240, 320, 3), np.uint8)
+        with pytest.raises(ValueError):
+            resize_crop(video, 64, resize_hw=(64, 60))
+
+
+class TestFpsResampling:
+    """resample_frame_indices mirrors the reference VideoClips resampling
+    (dataset/video/video_utils.py:350-388)."""
+
+    def test_identity_without_target(self):
+        np.testing.assert_array_equal(
+            resample_frame_indices(10, 25.0, None), np.arange(10))
+
+    def test_identity_with_unknown_source_fps(self):
+        np.testing.assert_array_equal(
+            resample_frame_indices(7, 0.0, 10.0), np.arange(7))
+
+    def test_integer_stride(self):
+        np.testing.assert_array_equal(
+            resample_frame_indices(30, 30.0, 15.0), np.arange(0, 30, 2))
+
+    def test_fractional_step(self):
+        idx = resample_frame_indices(25, 25.0, 10.0)
+        np.testing.assert_array_equal(
+            idx, np.floor(np.arange(10) * 2.5).astype(np.int64))
+
+    def test_upsampling_repeats_frames(self):
+        idx = resample_frame_indices(10, 10.0, 20.0)
+        assert len(idx) == 20
+        assert idx.max() <= 9

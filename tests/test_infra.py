@@ -42,6 +42,35 @@ class TestConfig:
         c = get_config("ucf_wgan_gp_128")
         assert c.trunk == "dcgan128" and c.video_length == 32
         assert c.gp_weight > 0
+        # GP needs BatchNorm-free critics — both must be spectral-norm
+        assert c.image_disc == "sn" and c.video_disc == "sn"
+
+    def test_northstar_config_builds_sn_critics(self):
+        from ganode_tpu.models import SNImageDiscriminator, SNVideoDiscriminator
+        from ganode_tpu.train.runner import build_trainer
+
+        c = get_config("ucf_wgan_gp_128", ngf=8, ndf=8, batch_size=2)
+        tr = build_trainer(c)
+        assert isinstance(tr.dis_img, SNImageDiscriminator)
+        assert isinstance(tr.dis_vid, SNVideoDiscriminator)
+
+    def test_wgan_config_digit_filter_applies(self, tmp_path):
+        """mnist_ode_wgan on a MIXED-digit file must serve 3s only — the
+        reference's pre-filtered rot-mnist-3s.mat semantics
+        (mnist_moco_ode_wgan.py:30), applied at load time."""
+        from ganode_tpu.data import build_rotmnist
+        from ganode_tpu.train.runner import build_data
+
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(30, 28, 28).astype(np.float32) - 0.5
+        labels = np.arange(30) % 10
+        path = str(tmp_path / "mixed.npz")
+        build_rotmnist(path, imgs, labels)
+        cfg = get_config("mnist_ode_wgan", data_path=path, batch_size=4)
+        img_sampler, vid_sampler = build_data(cfg)
+        _, y_img = img_sampler.sample(jax.random.PRNGKey(0))
+        _, y_vid = vid_sampler.sample(jax.random.PRNGKey(1))
+        assert np.all(y_img == 3) and np.all(y_vid == 3)
 
     def test_override_and_unknown(self):
         c = get_config("mnist_ode", batch_size=8)

@@ -226,3 +226,25 @@ class TestCompat:
         sess = GeneratorSession(gen)
         videos, _ = sess.sample_videos(2, video_len=12)
         assert videos.shape == (2, 1, 12, 28, 28)
+
+
+def test_sn_video_discriminator():
+    """SN video critic: correct contract, 'spectral' state, and no BatchNorm."""
+    from ganode_tpu.models import SNVideoDiscriminator
+
+    disc = SNVideoDiscriminator(ksize=2, ndf=8)
+    x = jnp.zeros((B, T, 28, 28, 1))
+    variables = disc.init({"params": jax.random.PRNGKey(0)}, x)
+    assert "spectral" in variables
+    assert "batch_stats" not in variables  # BN-free by construction (WGAN-GP)
+    (out, aux), mut = disc.apply(variables, x, mutable=["spectral"])
+    assert out.shape[0] == B and aux is None
+
+
+def test_sn_video_discriminator_rejects_short_clips():
+    from ganode_tpu.models import SNVideoDiscriminator
+
+    disc = SNVideoDiscriminator(ksize=4, ndf=8)
+    with pytest.raises(ValueError):
+        disc.init({"params": jax.random.PRNGKey(0)},
+                  jnp.zeros((2, 8, 64, 64, 3)))

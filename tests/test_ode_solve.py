@@ -191,6 +191,19 @@ class TestAdaptive:
                                                 jnp.linspace(0, 1, 3))[-1])
         np.testing.assert_allclose(fn(jnp.array([1.0]))[0], np.exp(-1.0), rtol=1e-4)
 
+    def test_dense_output_grid_keeps_step_size(self):
+        """Landing on an output time must not shrink the carried step: on an
+        easy problem a dense grid should average ~1 accepted attempt per
+        output interval rather than re-growing the step each landing."""
+        y0 = jnp.array([1.0])
+        ts = jnp.linspace(0.0, 1.0, 33)
+        ys, stats = odeint_adaptive(lambda t, y: -y, y0, ts,
+                                    rtol=1e-5, atol=1e-7, return_stats=True)
+        np.testing.assert_allclose(ys[:, 0], np.exp(-np.asarray(ts)),
+                                   rtol=1e-4, atol=1e-7)
+        # 32 intervals; allow a handful of extra attempts for startup/rejects
+        assert int(stats.nfe) <= 6 * (32 + 8), int(stats.nfe)
+
 
 class TestSDE:
     def test_deterministic_limit_matches_ode(self):
@@ -273,6 +286,24 @@ class TestSDE:
         err_e = np.abs(np.asarray(ys_e[-1]) - exact).mean()
         err_m = np.abs(np.asarray(ys_m[-1]) - exact).mean()
         assert err_m < err_e
+
+    def test_milstein_dense_diffusion_uses_true_diagonal(self):
+        """For a DENSE diffusion g(y) = y @ A, the diagonal-Milstein correction
+        must use the true Jacobian diagonal dg_i/dy_i = A_ii — the directional
+        derivative of g along g is exact only for elementwise diffusions."""
+        A = jnp.array([[0.5, 0.3], [-0.2, 0.8]])
+        y0 = jnp.array([[0.7, -0.4]])
+        ts = np.array([0.0, 1.0])
+        key = jax.random.PRNGKey(3)
+        ys = sdeint(lambda t, y: jnp.zeros_like(y), lambda t, y: y @ A,
+                    y0, ts, key, method="milstein")
+        # replicate the solver's single Brownian increment (substep index 0)
+        kk = jax.random.split(jax.random.fold_in(key, 0), 1)[0]
+        dW = np.asarray(jax.random.normal(kk, y0.shape))  # sqrt(h)=1
+        g0 = np.asarray(y0 @ A)
+        expected = (np.asarray(y0) + g0 * dW
+                    + 0.5 * g0 * np.diag(np.asarray(A)) * (dW ** 2 - 1.0))
+        np.testing.assert_allclose(np.asarray(ys[-1]), expected, rtol=1e-5)
 
 
 class TestSpline:

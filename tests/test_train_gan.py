@@ -189,3 +189,52 @@ def test_sn_discriminator_spectral_state_threads_through_training():
         for a, b in zip(jax.tree.leaves(state.dis_img.spectral),
                         jax.tree.leaves(new_state.dis_img.spectral)))
     assert changed
+
+
+def test_wgan_gp_with_sn_critics_trains():
+    """The north-star critic stack: WGAN-GP with spectral-norm, BatchNorm-free
+    image AND video critics. One full step must produce finite losses and
+    advance both critics' power-iteration state."""
+    from ganode_tpu.models import SNImageDiscriminator, SNVideoDiscriminator
+
+    gen = make_generator("ode", n_channels=1, trunk="mnist28", video_length=T,
+                         dim_z_content=10, dim_z_motion=4, ngf=NGF)
+    trainer = GANTrainer(
+        gen=gen,
+        dis_img=SNImageDiscriminator(ndf=NGF),
+        dis_vid=SNVideoDiscriminator(ksize=2, ndf=NGF),
+        batch_size=B, d_iters=1, loss="wasserstein", gp_weight=10.0)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    assert state.dis_img.spectral is not None
+    assert state.dis_vid.spectral is not None
+    images, videos = _fake_batches(jax.random.PRNGKey(1), d_iters=1)
+    new_state, metrics = trainer.train_step(state, images, videos,
+                                            jax.random.PRNGKey(2))
+    for name, v in metrics.items():
+        assert np.isfinite(float(v)), name
+    for net in ("dis_img", "dis_vid"):
+        changed = any(
+            not np.allclose(a, b)
+            for a, b in zip(jax.tree.leaves(getattr(state, net).spectral),
+                            jax.tree.leaves(getattr(new_state, net).spectral)))
+        assert changed, net
+
+
+def test_gp_with_noise_discriminator():
+    """gp_weight > 0 together with use_noise=True critics (the reference's UCF
+    discriminator config) must not crash: the GP apply needs a 'noise' rng."""
+    gen = make_generator("gru", n_channels=1, trunk="mnist28", video_length=T,
+                         dim_z_content=10, dim_z_motion=4, ngf=NGF)
+    trainer = GANTrainer(
+        gen=gen,
+        dis_img=PatchImageDiscriminator(ndf=NGF, use_noise=True,
+                                        noise_sigma=0.1),
+        dis_vid=VideoDiscriminator(ksize=2, ndf=NGF, use_noise=True,
+                                   noise_sigma=0.1),
+        batch_size=B, d_iters=1, loss="wasserstein", gp_weight=10.0)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    images, videos = _fake_batches(jax.random.PRNGKey(1), d_iters=1)
+    _, metrics = trainer.train_step(state, images, videos,
+                                    jax.random.PRNGKey(2))
+    for name, v in metrics.items():
+        assert np.isfinite(float(v)), name
