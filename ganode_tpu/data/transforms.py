@@ -153,3 +153,27 @@ def per_clip(transform: Callable, key, batch):
     analog of 'randomize once per clip'."""
     keys = jax.random.split(key, batch.shape[0])
     return jax.vmap(transform)(keys, batch)
+
+
+# ------------------------------------------------------------------ targets ----
+# Target transforms select fields from a per-sample annotation dict — the
+# reference's dataset/transform/target_transforms.py:17-27 verbatim semantics
+# (labels in this library are usually served directly by the keyed samplers;
+# these cover the reference's loader-protocol parity surface).
+
+def class_label(target: dict):
+    """-> target['label'] (reference target_transforms.py ClassLabel)."""
+    return target["label"]
+
+
+def video_id(target: dict):
+    """-> target['video_id'] (reference target_transforms.py VideoID)."""
+    return target["video_id"]
+
+
+def compose_targets(*transforms: Callable):
+    """Apply several target transforms, returning a list of their results
+    (reference target_transforms.py Compose)."""
+    def apply(target):
+        return [t(target) for t in transforms]
+    return apply

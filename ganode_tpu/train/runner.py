@@ -41,8 +41,12 @@ def build_trainer(config: ExperimentConfig) -> GANTrainer:
     motion_kwargs = {}
     if config.use_pallas and config.variant in ("ode", "gru"):
         motion_kwargs["use_pallas"] = True
-    if config.variant == "ode" and config.motion_method != "rk4":
+    # every solver-backed variant accepts a method override (ode also via
+    # dopri5); None keeps the variant's reference default
+    if config.motion_method is not None and config.variant != "gru":
         motion_kwargs["method"] = config.motion_method
+    if config.variant == "sde" and config.sde_dt is not None:
+        motion_kwargs["dt"] = config.sde_dt
     gen = make_generator(
         config.variant,
         n_channels=config.n_channels,

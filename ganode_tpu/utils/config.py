@@ -32,8 +32,14 @@ class ExperimentConfig:
     use_pallas: bool = False
     # conv/deconv compute dtype: 'float32' | 'bfloat16' (params stay f32)
     compute_dtype: str = "float32"
-    # ODE-variant solver: any fixed-grid method or 'dopri5' (adaptive)
-    motion_method: str = "rk4"
+    # Motion solver method. Per variant: ode = any fixed-grid method or
+    # 'dopri5' (adaptive); sde = 'euler' | 'milstein'; cde/ode_rnn = any
+    # fixed-grid method. None keeps the variant's reference default
+    # (rk4 / euler / rk4 / rk4).
+    motion_method: Optional[str] = None
+    # SDE max internal step (reference models/mocogan_sde.py:59 dt=2.5e-2);
+    # None keeps the default.
+    sde_dt: Optional[float] = None
     # training (reference mnist_moco_ode.py:13-14,86-89,111)
     steps: int = 100_000
     batch_size: int = 32

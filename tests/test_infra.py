@@ -226,6 +226,39 @@ class TestParallel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-5)
 
+    def test_multihost_feeding_into_parallel_step(self):
+        """make_global_batch -> sharded parallel step: the multi-host feeding
+        path (jax.make_array_from_process_local_data). Single-process here, so
+        the local stripe is the whole batch; what's under test is the assembly
+        of host data into a mesh-sharded global array and feeding it through
+        the jitted DP step."""
+        from ganode_tpu.data import make_global_batch
+        from ganode_tpu.models import (
+            PatchImageDiscriminator, VideoDiscriminator, make_generator)
+        from ganode_tpu.parallel import (
+            data_sharding, make_mesh, make_parallel_step)
+        from ganode_tpu.train import GANTrainer
+
+        T = 8
+        gen = make_generator("gru", n_channels=1, trunk="mnist28",
+                             video_length=T, dim_z_content=4, dim_z_motion=4,
+                             ngf=8)
+        tr = GANTrainer(gen=gen, dis_img=PatchImageDiscriminator(ndf=8),
+                        dis_vid=VideoDiscriminator(ksize=2, ndf=8),
+                        batch_size=16, d_iters=1)
+        mesh = make_mesh(8, ("data",))
+        step, place_state, _ = make_parallel_step(tr, mesh, donate=False)
+        state = place_state(tr.init_state(jax.random.PRNGKey(0)))
+        rng = np.random.RandomState(0)
+        images = rng.uniform(-1, 1, (1, 16, 28, 28, 1)).astype(np.float32)
+        videos = rng.uniform(-1, 1, (1, 16, T, 28, 28, 1)).astype(np.float32)
+        im = make_global_batch(images, data_sharding(mesh, 1, images.ndim))
+        vi = make_global_batch(videos, data_sharding(mesh, 1, videos.ndim))
+        assert im.sharding.spec[1] == "data"
+        new_state, metrics = step(state, im, vi, jax.random.PRNGKey(1))
+        assert all(np.isfinite(float(v)) for v in metrics.values())
+        assert int(new_state.step) == 1
+
     def test_tp_param_sharding(self):
         from ganode_tpu.parallel import make_mesh, shard_params_tp
 
@@ -236,3 +269,46 @@ class TestParallel:
         assert sharded["big"].sharding.spec[-1] == "model"
         # small params replicated
         assert all(s is None for s in sharded["small"].sharding.spec)
+
+
+class TestMotionSolverOptions:
+    """sde/cde/ode_rnn solver options must be reachable from ExperimentConfig
+    (they were ode-only before)."""
+
+    def test_sde_method_and_dt_forwarded(self):
+        from ganode_tpu.train.runner import build_trainer
+
+        c = get_config("mnist_sde", motion_method="milstein", sde_dt=0.05,
+                       ngf=8, ndf=8, batch_size=2)
+        tr = build_trainer(c)
+        assert tr.gen.motion.method == "milstein"
+        assert tr.gen.motion.dt == 0.05
+
+    def test_cde_method_forwarded(self):
+        from ganode_tpu.train.runner import build_trainer
+
+        c = get_config("mnist_cde", motion_method="euler",
+                       ngf=8, ndf=8, batch_size=2)
+        tr = build_trainer(c)
+        assert tr.gen.motion.method == "euler"
+
+    def test_none_keeps_variant_defaults(self):
+        from ganode_tpu.train.runner import build_trainer
+
+        for name, default in (("mnist_ode", "rk4"), ("mnist_sde", "euler"),
+                              ("mnist_cde", "rk4"), ("mnist_ode_rnn", "rk4")):
+            tr = build_trainer(get_config(name, ngf=8, ndf=8, batch_size=2))
+            assert tr.gen.motion.method == default, name
+
+
+def test_target_transforms():
+    """ClassLabel / VideoID / Compose parity
+    (reference dataset/transform/target_transforms.py:17-27)."""
+    from ganode_tpu.data import transforms
+
+    target = {"label": 7, "video_id": "v_Clap_g01"}
+    assert transforms.class_label(target) == 7
+    assert transforms.video_id(target) == "v_Clap_g01"
+    both = transforms.compose_targets(transforms.class_label,
+                                      transforms.video_id)
+    assert both(target) == [7, "v_Clap_g01"]
