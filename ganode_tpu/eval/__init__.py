@@ -1,5 +1,13 @@
 """Evaluation: Inception Score, Frechet video distance, feature extractors."""
-from .embedder import ImageClassifier, VideoEmbedder, embed_videos, train_classifier
+from .embedder import (
+    ImageClassifier,
+    VideoEmbedder,
+    embed_videos,
+    load_params,
+    save_params,
+    train_classifier,
+    train_video_embedder,
+)
 from .metrics import (
     feature_stats,
     frechet_distance,
@@ -16,6 +24,9 @@ __all__ = [
     "frechet_distance",
     "fvd",
     "inception_score",
+    "load_params",
+    "save_params",
     "score_generator",
     "train_classifier",
+    "train_video_embedder",
 ]

@@ -80,3 +80,75 @@ def embed_videos(model: VideoEmbedder, params, videos: np.ndarray,
     for i in range(0, len(videos), batch_size):
         feats.append(np.asarray(apply(jnp.asarray(videos[i:i + batch_size]))))
     return np.concatenate(feats)
+
+
+class _VideoClassifierHead(nn.Module):
+    """VideoEmbedder + linear classification head — the training harness that
+    turns the embedder's features discriminative (I3D-style supervised
+    features, trained on the real dataset's own labels since no pretrained
+    weights are fetchable offline)."""
+
+    feature_dim: int
+    n_classes: int
+
+    @nn.compact
+    def __call__(self, x):
+        feats = VideoEmbedder(feature_dim=self.feature_dim, name="embedder")(x)
+        return nn.Dense(self.n_classes, name="head")(feats)
+
+
+def train_video_embedder(videos: np.ndarray, labels: np.ndarray, *,
+                         n_classes: int, feature_dim: int = 128,
+                         steps: int = 300, batch_size: int = 16,
+                         lr: float = 1e-3, seed: int = 0):
+    """Fit the FVD feature function by classifying real videos; returns
+    (embedder, embedder_params, train_accuracy). The classification head is
+    discarded — FVD uses the feature layer underneath it."""
+    model = _VideoClassifierHead(feature_dim=feature_dim, n_classes=n_classes)
+    key = jax.random.PRNGKey(seed)
+    params = model.init(key, jnp.zeros((1,) + videos.shape[1:]))["params"]
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+    videos = jnp.asarray(videos)
+    labels = jnp.asarray(labels)
+
+    @jax.jit
+    def step(params, opt_state, xb, yb):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, xb)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, yb).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    n = videos.shape[0]
+    for i in range(steps):
+        idx = jax.random.randint(jax.random.fold_in(key, i), (batch_size,), 0, n)
+        params, opt_state, _ = step(params, opt_state, videos[idx], labels[idx])
+
+    logits = model.apply({"params": params}, videos[:256])
+    acc = float(jnp.mean(jnp.argmax(logits, -1) == labels[:256]))
+    return (VideoEmbedder(feature_dim=feature_dim), params["embedder"], acc)
+
+
+def save_params(path: str, params) -> str:
+    """Persist a params pytree (flax msgpack) — eval feature functions are
+    checkpointed once and reused so IS/FVD are comparable across runs."""
+    import os
+
+    from flax import serialization
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+    return path
+
+
+def load_params(path: str, template):
+    """Load a params pytree saved by :func:`save_params` (template supplies the
+    tree structure and shapes)."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())

@@ -116,8 +116,14 @@ def synthetic_ucf(config: ExperimentConfig, n_videos: int = 16, seed: int = 0):
     return videos, rng.randint(0, 101, n_videos)
 
 
-def build_data(config: ExperimentConfig, *, synthetic: bool = False):
-    """Returns (image_sampler, video_sampler) with .sample(key) methods."""
+def build_data(config: ExperimentConfig, *, synthetic: bool = False,
+               value_range=None):
+    """Returns (image_sampler, video_sampler) with .sample(key) methods.
+
+    ``value_range`` (rotmnist only) rescales the served values; training keeps
+    the reference's [0, 1] quirk (reference dataset/mnist_rotation.py:28-32),
+    but evaluation must compare reals and tanh fakes on the same [-1, 1] scale.
+    """
     if config.dataset == "rotmnist":
         if synthetic or not os.path.exists(config.data_path):
             if not synthetic:
@@ -129,8 +135,9 @@ def build_data(config: ExperimentConfig, *, synthetic: bool = False):
             videos, labels = load_rotmnist(
                 config.data_path, train=True, num_frames=config.video_length,
                 digits=config.digits)
-        return (RotMNISTImages(videos, labels, config.batch_size),
-                RotMNISTVideos(videos, labels, config.batch_size))
+        kw = {"value_range": value_range} if value_range is not None else {}
+        return (RotMNISTImages(videos, labels, config.batch_size, **kw),
+                RotMNISTVideos(videos, labels, config.batch_size, **kw))
     if config.dataset == "ucf101":
         if synthetic or not os.path.exists(config.data_path):
             if not synthetic:

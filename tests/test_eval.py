@@ -101,3 +101,51 @@ class TestEmbedders:
         feats = embed_videos(model, params, videos, batch_size=4)
         assert feats.shape == (6, 32)
         assert np.isfinite(feats).all()
+
+
+class TestTrainedEmbedder:
+    def test_video_embedder_trains_and_discriminates(self):
+        """Supervised features must separate two obviously different classes
+        better than chance (the property FVD relies on)."""
+        from ganode_tpu.eval import train_video_embedder
+
+        rng = np.random.RandomState(0)
+        n = 32
+        vids = np.zeros((n, 4, 8, 8, 1), np.float32)
+        labels = np.arange(n) % 2
+        vids[labels == 0] += rng.uniform(0.5, 1.0, (n // 2, 4, 8, 8, 1))
+        vids[labels == 1] -= rng.uniform(0.5, 1.0, (n // 2, 4, 8, 8, 1))
+        embedder, params, acc = train_video_embedder(
+            vids, labels, n_classes=2, feature_dim=16, steps=60, batch_size=8)
+        assert acc > 0.9
+
+    def test_params_save_load_roundtrip(self, tmp_path):
+        from ganode_tpu.eval import (
+            load_params, save_params, train_video_embedder)
+
+        vids = np.random.RandomState(0).rand(8, 4, 8, 8, 1).astype(np.float32)
+        labels = np.arange(8) % 2
+        embedder, params, _ = train_video_embedder(
+            vids, labels, n_classes=2, feature_dim=8, steps=2, batch_size=4)
+        path = str(tmp_path / "emb.msgpack")
+        save_params(path, params)
+        loaded = load_params(path, jax.tree.map(np.zeros_like, params))
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_persisted_embedder_gives_stable_features(self, tmp_path):
+        """Re-loading the persisted params must reproduce identical features —
+        the property that makes FVD comparable across eval runs."""
+        from ganode_tpu.eval import (
+            embed_videos, load_params, save_params, train_video_embedder)
+
+        vids = np.random.RandomState(1).rand(8, 4, 8, 8, 1).astype(np.float32)
+        labels = np.arange(8) % 2
+        embedder, params, _ = train_video_embedder(
+            vids, labels, n_classes=2, feature_dim=8, steps=5, batch_size=4)
+        path = str(tmp_path / "emb.msgpack")
+        save_params(path, params)
+        f1 = embed_videos(embedder, params, vids, batch_size=4)
+        loaded = load_params(path, jax.tree.map(np.zeros_like, params))
+        f2 = embed_videos(embedder, loaded, vids, batch_size=4)
+        np.testing.assert_array_equal(f1, f2)
