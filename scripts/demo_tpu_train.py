@@ -39,12 +39,16 @@ def synthetic_moving_shapes(n_videos, T, size=64, seed=0):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="mnist_ode",
-                   choices=["mnist_ode", "ucf_ode"])
+                   choices=["mnist_ode", "ucf_ode", "ucf_wgan_gp_128"])
     p.add_argument("--steps", type=int, default=1500)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--n-videos", type=int, default=512)
     p.add_argument("--eval-every", type=int, default=250)
     p.add_argument("--workdir", default="runs/demo")
+    p.add_argument("--out-json", default=None,
+                   help="also write the history to this path")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 conv compute (TPU mixed precision)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="shrink the model for CPU smoke runs")
@@ -65,15 +69,20 @@ def main():
     from ganode_tpu.utils.gifs import save_sample_grid
 
     os.makedirs(args.workdir, exist_ok=True)
-    config = get_config(args.config, batch_size=args.batch_size)
+    overrides = {"batch_size": args.batch_size}
+    if args.bf16:
+        overrides["compute_dtype"] = "bfloat16"
+    config = get_config(args.config, **overrides)
     if args.tiny:
         config = config.__class__(**{**config.__dict__, "ngf": 8, "ndf": 8,
                                      "dim_z_content": 8, "dim_z_motion": 4,
                                      "d_iters": 1})
     trainer = build_trainer(config)
 
-    if args.config == "ucf_ode":
-        videos_np = synthetic_moving_shapes(args.n_videos, config.video_length)
+    if config.dataset == "ucf101":
+        size = 128 if config.trunk == "dcgan128" else 64
+        videos_np = synthetic_moving_shapes(args.n_videos, config.video_length,
+                                            size=size)
     else:
         videos_np, _ = synthetic_rotmnist(config, n_videos=args.n_videos)
         videos_np = videos_np * 2.0 - 1.0  # [-1,1] so reals match tanh fakes
@@ -116,11 +125,30 @@ def main():
                 os.path.join(args.workdir, f"samples_{i:05d}.gif"),
                 fakes[:16], n=4)
 
+    losses = [abs(r[k]) for r in history
+              for k in ("dis_img_loss", "dis_vid_loss", "gen_loss")]
+    summary = {
+        "config": config.name,
+        "batch_size": config.batch_size,
+        "steps": args.steps,
+        "backend": jax.default_backend(),
+        "precision": config.compute_dtype,
+        "history": history,
+        "max_abs_loss": round(max(losses), 4),
+        "all_losses_finite": all(np.isfinite(v) for v in losses),
+        "fvd_first": history[0]["fvd"],
+        "fvd_last": history[-1]["fvd"],
+    }
     with open(os.path.join(args.workdir, "history.json"), "w") as f:
-        json.dump(history, f, indent=2)
+        json.dump(summary, f, indent=2)
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(summary, f, indent=2)
     first, last = history[0]["fvd"], history[-1]["fvd"]
     print(f"FVD {first} -> {last} over {args.steps} steps "
-          f"({'IMPROVED' if last < first else 'no improvement'})")
+          f"({'IMPROVED' if last < first else 'no improvement'}); "
+          f"max |loss| {summary['max_abs_loss']}, "
+          f"finite={summary['all_losses_finite']}")
 
 
 if __name__ == "__main__":
