@@ -231,6 +231,12 @@ def run_training(
 
     logger = MetricsLogger(os.path.join(workdir, "metrics.jsonl"),
                            print_every=config.log_every)
+    # TensorBoard scalars alongside JSONL (the reference's stage-2 notebook
+    # logged via SummaryWriter; reference test_ODE_training_with_cifar_GAN.ipynb)
+    tb = None
+    if config.tensorboard:
+        from ..utils.tb import EventWriter
+        tb = EventWriter(os.path.join(workdir, "tb"))
     throughput = Throughput(config.batch_size)
     step_fn = trainer.jitted_step(donate=False) if jit else trainer.train_step
 
@@ -253,11 +259,19 @@ def run_training(
                 logger.log(step, metrics, extra={"event": "non_finite_loss"})
                 ckpt.save(step, state, wait=True)
                 logger.close()
+                if tb is not None:
+                    tb.close()
                 raise FloatingPointError(
                     f"non-finite loss at step {step}: {vals}; "
                     f"last state checkpointed to {workdir}/checkpoints")
             logger.log(step, metrics,
                        extra={"clips_per_sec": throughput.clips_per_sec_per_chip()})
+            if tb is not None:
+                tb.add_scalars(
+                    {f"train/{k}": v for k, v in vals.items()}
+                    | {"perf/clips_per_sec":
+                       throughput.clips_per_sec_per_chip()}, step)
+                tb.flush()
         if config.sample_every and step % config.sample_every == 0:
             _write_samples(trainer, state, os.path.join(
                 workdir, "samples", f"gensamples_id{step}.gif"), config)
@@ -266,6 +280,8 @@ def run_training(
 
     ckpt.save(steps, state, wait=True)
     logger.close()
+    if tb is not None:
+        tb.close()
     return state, {k: float(v) for k, v in metrics.items()}
 
 

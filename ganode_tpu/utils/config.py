@@ -55,6 +55,7 @@ class ExperimentConfig:
     data_path: str = "data/rot-mnist.npz"
     digits: Optional[Tuple[int, ...]] = None
     # io cadence (reference mnist_moco_ode.py:164-182)
+    tensorboard: bool = True          # mirror metrics to <workdir>/tb events
     log_every: int = 100
     sample_every: int = 1000
     checkpoint_every: int = 1000

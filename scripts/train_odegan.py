@@ -148,6 +148,10 @@ def main():
     g_step = jax.jit(lambda p, k: trainer.step(p, k, model="gen"))
     losses = []
     os.makedirs(args.workdir, exist_ok=True)
+    # TensorBoard scalars, as the reference's CIFAR notebook did via
+    # SummaryWriter (reference stage2/test_ODE_training_with_cifar_GAN.ipynb)
+    from ganode_tpu.utils.tb import EventWriter
+    tb = EventWriter(os.path.join(args.workdir, "tb"))
     for step in range(args.steps):
         k = jax.random.fold_in(key, 10_000 + step)
         idx = jax.random.randint(jax.random.fold_in(k, 0), (B,), 0, len(data))
@@ -159,8 +163,11 @@ def main():
             gl = float(g_loss(all_params, k, None))
             dl = float(d_loss(all_params, k, batch))
             losses.append({"step": step, "g_loss": gl, "d_loss": dl})
+            tb.add_scalars({f"{args.method}/g_loss": gl,
+                            f"{args.method}/d_loss": dl}, step)
             print(f"step {step}: G {gl:.4f} D {dl:.4f}", flush=True)
 
+    tb.close()
     with open(os.path.join(args.workdir, f"losses_{args.method}.json"), "w") as f:
         json.dump(losses, f)
     print(f"done; losses -> {args.workdir}/losses_{args.method}.json")

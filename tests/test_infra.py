@@ -114,6 +114,57 @@ class TestMetrics:
         assert lines[1]["clips_per_sec"] == 100.0
 
 
+class TestTensorBoard:
+    def test_events_readable_by_tensorboard(self, tmp_path):
+        """The hand-rolled event encoding must be valid for the real consumer:
+        read the file back with the installed tensorboard's own loader."""
+        from ganode_tpu.utils.tb import EventWriter
+
+        logdir = str(tmp_path / "tb")
+        w = EventWriter(logdir)
+        w.add_scalar("train/gen_loss", 1.5, step=0)
+        w.add_scalars({"train/gen_loss": 1.25, "perf/clips_per_sec": 900.0},
+                      step=100)
+        w.close()
+
+        loader = pytest.importorskip(
+            "tensorboard.backend.event_processing.event_file_loader")
+        events = list(loader.EventFileLoader(w.path).Load())
+        assert events[0].file_version == "brain.Event:2"
+        scalars = {}
+        for ev in events[1:]:
+            for v in ev.summary.value:
+                # modern loaders auto-migrate simple_value -> scalar tensor
+                val = (v.tensor.float_val[0] if v.tensor.float_val
+                       else v.simple_value)
+                scalars[(ev.step, v.tag)] = val
+        assert scalars[(0, "train/gen_loss")] == 1.5
+        assert scalars[(100, "train/gen_loss")] == 1.25
+        assert scalars[(100, "perf/clips_per_sec")] == 900.0
+
+    def test_run_training_writes_events(self, tmp_path):
+        from ganode_tpu.train.runner import run_training
+        from ganode_tpu.utils.config import get_config
+
+        config = get_config("mnist_ode", batch_size=2)
+        config = config.__class__(**{
+            **config.__dict__, "video_length": 8, "ngf": 8, "ndf": 8,
+            "dim_z_content": 4, "dim_z_motion": 4, "d_iters": 1,
+            "sample_every": 0, "checkpoint_every": 0, "log_every": 1,
+        })
+        workdir = str(tmp_path / "run")
+        run_training(config, workdir, steps=1, synthetic=True, jit=False)
+        tb_dir = os.path.join(workdir, "tb")
+        files = os.listdir(tb_dir)
+        assert any(f.startswith("events.out.tfevents.") for f in files)
+        loader = pytest.importorskip(
+            "tensorboard.backend.event_processing.event_file_loader")
+        path = os.path.join(tb_dir, sorted(files)[0])
+        tags = {v.tag for ev in loader.EventFileLoader(path).Load()
+                for v in ev.summary.value}
+        assert "train/gen_loss" in tags
+
+
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, tmp_path):
         from ganode_tpu.utils.checkpoint import CheckpointManager
