@@ -12,6 +12,13 @@ from .rotmnist import (
     rotate_videos,
 )
 from .video import default_resize_geometry, resample_frame_indices, resize_crop
+from .clips import (
+    ClipIndex,
+    UCF101RandomClipSampler,
+    UCF101SequentialClips,
+    compute_clips_for_video,
+    unfold,
+)
 from .ucf101 import (
     PackedVideoDataset,
     UCF101ClipSampler,
@@ -23,6 +30,11 @@ from .ucf101 import (
 )
 
 __all__ = [
+    "ClipIndex",
+    "UCF101RandomClipSampler",
+    "UCF101SequentialClips",
+    "compute_clips_for_video",
+    "unfold",
     "FrameFolderVideos",
     "ImageFolderSampler",
     "PackedVideoDataset",

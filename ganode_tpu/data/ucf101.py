@@ -131,8 +131,13 @@ def pack_ucf101(
 
 
 def pack_arrays(out_dir: str, videos: List[np.ndarray], labels: List[int],
-                *, image_size: int = 64, n_frame: int = 16) -> str:
-    """Pack pre-decoded (T, H, W, C) uint8 arrays — the test/offline-shard path."""
+                *, image_size: int = 64, n_frame: int = 16,
+                source_fps: Optional[List[float]] = None) -> str:
+    """Pack pre-decoded (T, H, W, C) uint8 arrays — the test/offline-shard path.
+
+    ``source_fps`` optionally records per-video frame rates in meta.json so
+    fps-aware clip indexing (data/clips.py) works on hand-built packs too.
+    """
     os.makedirs(out_dir, exist_ok=True)
     offsets, lengths = [], []
     offset = 0
@@ -149,7 +154,8 @@ def pack_arrays(out_dir: str, videos: List[np.ndarray], labels: List[int],
              labels=np.asarray(labels, np.int64))
     with open(os.path.join(out_dir, _META_FILE), "w") as f:
         json.dump({"image_size": image_size, "n_frame": n_frame, "channels": 3,
-                   "classes": [], "paths": [], "total_frames": offset}, f)
+                   "classes": [], "paths": [], "total_frames": offset,
+                   "source_fps": source_fps}, f)
     return out_dir
 
 

@@ -166,6 +166,81 @@ class TestUCF101Pack:
         assert batches[0][0].shape == (2, 16, 64, 64, 3)
 
 
+class TestClipIndex:
+    """VideoClips-equivalent enumerable clip windows (reference
+    dataset/video/video_utils.py:213-229 unfold, 350-388 compute_clips,
+    398-424 get_clip_location)."""
+
+    def test_unfold_matches_torch_semantics(self):
+        from ganode_tpu.data import unfold
+        idx = np.arange(10)
+        w = unfold(idx, size=4, step=2)
+        # torch.arange(10).unfold(0, 4, 2) -> starts 0, 2, 4, 6
+        np.testing.assert_array_equal(
+            w, [[0, 1, 2, 3], [2, 3, 4, 5], [4, 5, 6, 7], [6, 7, 8, 9]])
+        assert unfold(np.arange(3), size=4, step=1).shape == (0, 4)
+
+    def test_compute_clips_with_frame_rate(self):
+        from ganode_tpu.data import compute_clips_for_video
+        # 30 fps -> 15 fps halves the frame list before unfolding
+        w = compute_clips_for_video(20, num_frames=4, step=4,
+                                    original_fps=30.0, frame_rate=15.0)
+        np.testing.assert_array_equal(w, [[0, 2, 4, 6], [8, 10, 12, 14]])
+
+    def test_num_clips_and_location(self, tmp_path):
+        from ganode_tpu.data import ClipIndex
+        pack_dir, _ = _fake_pack(tmp_path, lengths=(30, 20, 16, 40))
+        ds = PackedVideoDataset(pack_dir)
+        ci = ClipIndex(ds, num_frames=16, step=1)
+        # per video: T - 16 + 1 full windows
+        assert ci.num_clips() == 15 + 5 + 1 + 25
+        assert ci.get_clip_location(0) == (0, 0)
+        assert ci.get_clip_location(15) == (1, 0)
+        assert ci.get_clip_location(20) == (2, 0)
+        assert ci.get_clip_location(21) == (3, 0)
+        with pytest.raises(IndexError):
+            ci.get_clip_location(ci.num_clips())
+
+    def test_get_clip_frames_match_source(self, tmp_path):
+        from ganode_tpu.data import ClipIndex
+        pack_dir, videos = _fake_pack(tmp_path, lengths=(30, 20))
+        ci = ClipIndex(PackedVideoDataset(pack_dir), num_frames=8, step=4)
+        frames, info, vidx = ci.get_clip(1)  # video 0, second window (start 4)
+        assert vidx == 0
+        np.testing.assert_array_equal(frames, videos[0][4:12])
+
+    def test_fps_aware_clip_serving(self, tmp_path):
+        from ganode_tpu.data import ClipIndex
+        rng = np.random.RandomState(1)
+        videos = [rng.randint(0, 255, (32, 32, 32, 3), dtype=np.uint8)]
+        pack_dir = str(tmp_path / "fps-pack")
+        pack_arrays(pack_dir, videos, [0], image_size=32,
+                    source_fps=[30.0])
+        ci = ClipIndex(PackedVideoDataset(pack_dir), num_frames=8, step=8,
+                       frame_rate=15.0)
+        # resampled to 16 frames -> two disjoint stride-2 windows
+        assert ci.num_clips() == 2
+        frames, info, _ = ci.get_clip(0)
+        np.testing.assert_array_equal(frames, videos[0][0:16:2])
+        assert info["video_fps"] == 15.0
+
+    def test_sequential_and_random_serving(self, tmp_path):
+        from ganode_tpu.data import UCF101RandomClipSampler, UCF101SequentialClips
+        pack_dir, _ = _fake_pack(tmp_path, lengths=(30, 20, 16, 40), size=32)
+        seq = UCF101SequentialClips(pack_dir, batch_size=10, num_frames=16)
+        batches = list(seq)
+        assert sum(b.shape[0] for b, _ in batches) == len(seq) == 46
+        assert batches[0][0].shape == (10, 16, 32, 32, 3)
+        assert batches[0][0].dtype == np.float32
+        assert batches[0][0].min() >= -1.0 and batches[0][0].max() <= 1.0
+
+        rnd = UCF101RandomClipSampler(pack_dir, batch_size=4, num_frames=16)
+        clips, labels = rnd.sample(jax.random.PRNGKey(0))
+        assert clips.shape == (4, 16, 32, 32, 3)
+        clips2, _ = rnd.sample(jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(clips, clips2)  # keyed determinism
+
+
 class TestTransforms:
     def test_flip_consistent_across_frames(self):
         clip = jnp.asarray(np.random.RandomState(0).rand(8, 16, 16, 3))
