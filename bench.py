@@ -169,34 +169,68 @@ def main():
     K = 32  # repeats per dispatch: amortizes the remote-tunnel dispatch floor
             # (~3 ms/call) that would otherwise swamp sub-5ms phases
 
-    def repeated(fn_one):
-        def run_k(key):
+    def repeated(fn_one, x):
+        """K serialized evaluations of fn_one(x', key) inside one jit. The scan
+        accumulator perturbs the next input at 1e-9 scale — a genuine data
+        dependence XLA cannot hoist (a loop-INVARIANT body, e.g. a noise-free
+        discriminator on a fixed batch, would otherwise be computed once by
+        loop-invariant code motion and the phase time would read ~0)."""
+        def run_k(x, key):
             def body(acc, k):
-                return acc + jnp.sum(fn_one(k)).astype(jnp.float32), None
+                xi = x + (acc * 1e-9).astype(x.dtype)
+                return jnp.sum(fn_one(xi, k)).astype(jnp.float32), None
             out, _ = jax.lax.scan(body, jnp.float32(0),
                                   jax.random.split(key, K))
             return out
-        return jax.jit(run_k)
+        return jax.jit(run_k), x
 
+    def phase_flops(fn_one, x):
+        """XLA-counted FLOPs of one evaluation (None if unavailable)."""
+        try:
+            one = jax.jit(lambda x, k: jnp.sum(fn_one(x, k))
+                          .astype(jnp.float32))
+            ca = one.lower(x, key).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            f = float(ca.get("flops", 0))
+            return f if f > 0 else None
+        except Exception:
+            return None
+
+    def grad_of(fn_one):
+        """Sum-loss gradient wrt the input — the backward cost of the phase."""
+        def g(x, k):
+            return jax.grad(lambda x_: jnp.sum(fn_one(x_, k))
+                            .astype(jnp.float32))(x)
+        return g
+
+    zeros_vid = jnp.zeros((B, T, 64, 64, 3), jnp.float32)
+    zeros_img = jnp.zeros((B, 64, 64, 3), jnp.float32)
     phases = {}
-    for name, fn_one in (
-        ("gen_sample_videos", sample_videos),
-        ("gen_sample_images", sample_images),
-        ("d_vid_forward", lambda k: d_vid_fwd(vid_batch, k)),
-        ("d_img_forward", lambda k: d_img_fwd(img_batch, k)),
+    phase_tflops = {}
+    for name, fn_one, x_in in (
+        ("gen_sample_videos", lambda x, k: sample_videos(k), zeros_img),
+        ("gen_sample_images", lambda x, k: sample_images(k), zeros_img),
+        ("d_vid_forward", d_vid_fwd, vid_batch),
+        ("d_img_forward", d_img_fwd, img_batch),
+        ("d_vid_fwd_bwd", grad_of(d_vid_fwd), vid_batch),
+        ("d_img_fwd_bwd", grad_of(d_img_fwd), img_batch),
     ):
-        fn = repeated(fn_one)
-        float(fn(jax.random.fold_in(key, 0)))  # compile
+        fn, x_in = repeated(fn_one, x_in)
+        float(fn(x_in, jax.random.fold_in(key, 0)))  # compile
 
-        def run(n, offset, fn=fn):
+        def run(n, offset, fn=fn, x_in=x_in):
             o = None
             for i in range(n):
-                o = fn(jax.random.fold_in(key, offset + i))
+                o = fn(x_in, jax.random.fold_in(key, offset + i))
             return o
 
-        phases[name] = round(max(
-            _slope_time(run, lambda o: float(o), n1=2, n2=8) * 1000 / K,
-            0.0), 3)
+        ms = max(_slope_time(run, lambda o: float(o), n1=2, n2=8) * 1000 / K,
+                 0.0)
+        phases[name] = round(ms, 3)
+        f = phase_flops(fn_one, x_in)
+        if f and ms > 0:
+            phase_tflops[name] = round(f / (ms / 1e3) / 1e12, 1)
 
     # ---- measured solver cost (SolveStats, not hardcoded) -------------------
     from ganode_tpu import ode
@@ -219,6 +253,7 @@ def main():
         "compile_s": round(compile_s, 1),
         "first_gen_loss": round(first_loss, 4),
         "phase_ms": phases,
+        "phase_tflops_per_sec": phase_tflops,
         "ode_nfe_per_solve": nfe,
         "forward_solves_per_step": fwd_solves,
         "grad_solve_recomputes": 2,  # checkpointed replay in G's backward
