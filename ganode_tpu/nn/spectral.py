@@ -75,12 +75,24 @@ class SNConv(nn.Module):
         w_sn = kernel / sigma
 
         strides = self.strides if isinstance(self.strides, (tuple, list)) else (self.strides,) * len(ksize)
-        y = jax.lax.conv_general_dilated(
-            x.astype(w_sn.dtype), w_sn,
-            window_strides=tuple(strides),
-            padding=self.padding if isinstance(self.padding, str) else tuple(self.padding),
-            dimension_numbers=_dim_numbers(len(ksize)),
-        )
+        padding = self.padding if isinstance(self.padding, str) else tuple(
+            tuple(p) for p in self.padding)
+        if (ksize == (4, 4, 4) and tuple(strides) == (1, 2, 2)
+                and padding == ((0, 0), (1, 1), (1, 1)) and in_ch <= 16):
+            # the video critic's first-layer geometry (few input channels —
+            # where XLA's native input gradient wastes the MXU lanes): use the
+            # MXU-folded input gradient (ops/conv3d_grad.py) — identical
+            # arithmetic
+            from ..ops import conv3d_first
+
+            y = conv3d_first(x.astype(w_sn.dtype), w_sn)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(w_sn.dtype), w_sn,
+                window_strides=tuple(strides),
+                padding=padding,
+                dimension_numbers=_dim_numbers(len(ksize)),
+            )
         if bias is not None:
             y = y + bias
         return y

@@ -166,3 +166,76 @@ class TestPallasMotionIntegration:
                             rngs={"sample": jax.random.PRNGKey(5)})
         np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_f),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestConv3DFoldedGrad:
+    """MXU-folded input gradient for the video discriminators' first conv
+    (ops/conv3d_grad.py) — must be numerically identical to XLA's autodiff."""
+
+    def _inputs(self, B=2, T=12, S=32, ci=3, co=16, seed=0):
+        k = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(k, 3)
+        x = jax.random.normal(k1, (B, T, S, S, ci))
+        w = jax.random.normal(k2, (4, 4, 4, ci, co)) * 0.1
+        return x, w, k3
+
+    def test_forward_identical(self):
+        from ganode_tpu.ops import conv3d_first, conv3d_s122
+
+        x, w, _ = self._inputs()
+        np.testing.assert_array_equal(conv3d_first(x, w), conv3d_s122(x, w))
+
+    def test_gradients_match_autodiff(self):
+        from ganode_tpu.ops import conv3d_first, conv3d_s122
+
+        x, w, k = self._inputs()
+        # nonlinear loss so the cotangent depends on the data
+        def loss(f, x, w):
+            return jnp.sum(jnp.square(f(x, w)))
+
+        gx_ref, gw_ref = jax.grad(loss, argnums=(1, 2))(conv3d_s122, x, w)
+        gx, gw = jax.grad(loss, argnums=(1, 2))(conv3d_first, x, w)
+        np.testing.assert_allclose(gx, gx_ref, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(gw, gw_ref, rtol=1e-5, atol=1e-5)
+
+    def test_double_backward_for_gradient_penalty(self):
+        """The WGAN-GP penalty is grad-of-grad through the conv — the
+        custom_vjp's backward must itself be differentiable."""
+        from ganode_tpu.ops import conv3d_first, conv3d_s122
+
+        x, w, _ = self._inputs(B=1, T=8, S=16, co=8)
+
+        def gp(f, w_):
+            g = jax.grad(lambda x_: jnp.sum(jnp.square(f(x_, w_))))(x)
+            return jnp.sum(jnp.square(g))
+
+        gp_ref = jax.grad(lambda w_: gp(conv3d_s122, w_))(w)
+        gp_new = jax.grad(lambda w_: gp(conv3d_first, w_))(w)
+        np.testing.assert_allclose(gp_new, gp_ref, rtol=1e-4, atol=1e-4)
+
+    def test_video_discriminator_uses_it(self):
+        """VideoDiscriminator(ksize=4) output and grads are unchanged by the
+        fast-grad first layer vs a native-conv stand-in."""
+        from ganode_tpu.models import VideoDiscriminator
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64, 64, 3))
+        d = VideoDiscriminator(ksize=4, ndf=8)
+        variables = d.init({"params": jax.random.PRNGKey(1)}, x)
+        assert "FastGradConv3D_0" in variables["params"]
+        (logits, _), _ = d.apply(variables, x, mutable=["batch_stats"])
+        assert np.all(np.isfinite(logits))
+
+        def loss(x_):
+            (l, _), _ = d.apply(variables, x_, mutable=["batch_stats"])
+            return jnp.sum(jnp.square(l))
+
+        g = jax.grad(loss)(x)
+        assert np.all(np.isfinite(g)) and float(jnp.max(jnp.abs(g))) > 0
+
+    def test_mnist_ksize2_keeps_native_conv(self):
+        from ganode_tpu.models import VideoDiscriminator
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 28, 28, 1))
+        d = VideoDiscriminator(ksize=2, ndf=8)
+        variables = d.init({"params": jax.random.PRNGKey(1)}, x)
+        assert "FastGradConv3D_0" not in variables["params"]
