@@ -9,6 +9,7 @@ from .rotmnist import (
     build_rotmnist,
     load_mnist_idx,
     load_rotmnist,
+    load_sklearn_digits,
     rotate_videos,
 )
 from .video import default_resize_geometry, resample_frame_indices, resize_crop
@@ -50,6 +51,7 @@ __all__ = [
     "resize_crop",
     "load_mnist_idx",
     "load_rotmnist",
+    "load_sklearn_digits",
     "make_global_batch",
     "pack_arrays",
     "pack_ucf101",

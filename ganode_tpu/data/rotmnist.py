@@ -97,6 +97,31 @@ def load_mnist_idx(data_dir: str, split: str = "train", num: Optional[int] = Non
     return images, labels
 
 
+def load_sklearn_digits(num: Optional[int] = None, seed: int = 0):
+    """Real handwritten digits without network access: scikit-learn's bundled
+    8x8 scans (1797 of them), bicubic-upscaled to MNIST's 28x28 geometry.
+
+    The closest offline stand-in for the MNIST file the reference downloads
+    (reference utils/images.py:44-54) — quality metrics computed on datasets
+    built from these exercise genuine digit shapes. Returns (images
+    (N, 28, 28) float32 in [-0.5, 0.5], labels (N,) int64), shuffled by
+    ``seed`` so class order is mixed like true MNIST.
+    """
+    from sklearn.datasets import load_digits
+
+    d = load_digits()
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(len(d.images))
+    if num is not None and num < len(order):
+        order = order[:num]
+    small = d.images[order] / 16.0  # (N, 8, 8) in [0, 1]
+    labels = d.target[order].astype(np.int64)
+    images = np.stack([
+        ndimage.zoom(img, 28 / 8, order=3) for img in small
+    ]).astype(np.float32)
+    return np.clip(images, 0.0, 1.0) - 0.5, labels
+
+
 def build_rotmnist(
     out_path: str,
     images: np.ndarray,

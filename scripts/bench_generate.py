@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Serving benchmark: generation (inference) throughput of the flagship model.
+
+Training throughput lives in bench.py; this measures the serving path —
+eval-mode ``sample_videos`` on the UCF 64x64 MoCoGAN+ODE generator — across
+batch sizes, bf16, jitted once per shape. Prints one JSON line with clips/s
+per batch size and the best configuration.
+
+  python scripts/bench_generate.py            # real TPU
+  python scripts/bench_generate.py --cpu      # smoke
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--batches", type=int, nargs="+",
+                   default=[32, 128, 512])
+    p.add_argument("--video-length", type=int, default=16)
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from ganode_tpu.models import make_generator
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    gen = make_generator("ode", n_channels=3, trunk="dcgan64",
+                         dim_z_content=50, dim_z_motion=16,
+                         video_length=args.video_length,
+                         dtype=dtype, use_pallas=on_tpu)
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(lambda k: gen.init({"params": k, "sample": k}, 2))(key)
+    gvars = {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}
+
+    results = {"metric": "ucf64_mocogan_ode_generation_clips_per_sec",
+               "unit": "clips/s/chip", "backend": jax.default_backend(),
+               "precision": "bf16" if on_tpu else "f32",
+               "video_length": args.video_length, "per_batch": {}}
+
+    def slope(fn):
+        # Two-point slope with the iteration delta sized so the extra work is
+        # ~1 s of device time — per-sync jitter over the axon tunnel is tens of
+        # ms, which swamps small fixed deltas at low batch sizes.
+        def run(n, off):
+            o = None
+            for i in range(n):
+                o = fn(jax.random.fold_in(key, off + i))
+            return o
+        t0 = time.time(); float(jnp.sum(run(8, 50))); rough = (time.time() - t0) / 8
+        n1 = 8
+        n2 = n1 + max(32, min(1000, int(1.0 / max(rough, 1e-5))))
+        t0 = time.time(); float(jnp.sum(run(n1, 100))); ta = time.time() - t0
+        t0 = time.time(); float(jnp.sum(run(n2, 200))); tb = time.time() - t0
+        return (tb - ta) / (n2 - n1)
+
+    best = 0.0
+    for B in args.batches:
+        fn = jax.jit(lambda k, B=B: gen.apply(
+            gvars, B, method="sample_videos", rngs={"sample": k},
+            train=False)[0])
+        float(jnp.sum(fn(key)))  # compile
+        sec = slope(fn)
+        cps = B / sec
+        results["per_batch"][str(B)] = {
+            "latency_ms": round(sec * 1e3, 2),
+            "clips_per_sec": round(cps, 1),
+        }
+        best = max(best, cps)
+
+    results["value"] = round(best, 1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

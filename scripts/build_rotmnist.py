@@ -8,7 +8,12 @@ generates synthetic digits with --synthetic for smoke runs.
 Usage:
   python scripts/build_rotmnist.py --out data/rot-mnist.npz --mnist-dir data/mnist
   python scripts/build_rotmnist.py --out data/rot-mnist.npz --synthetic
+  python scripts/build_rotmnist.py --out data/rot-mnist.npz --sklearn
   python scripts/build_rotmnist.py --out data/rot-mnist-3s.npz --digits 3 ...
+
+--sklearn uses scikit-learn's bundled real handwritten digits (1797 8x8 scans,
+bicubic-upscaled to 28x28) — the closest offline stand-in for true MNIST, so
+quality metrics (IS/FVD) exercise real digit shapes, not procedural squares.
 """
 import argparse
 import os
@@ -24,6 +29,8 @@ def main():
     p.add_argument("--out", required=True)
     p.add_argument("--mnist-dir", default=None)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--sklearn", action="store_true",
+                   help="use scikit-learn's bundled handwritten digits")
     p.add_argument("--num", type=int, default=11000,
                    help="number of digits (reference uses 10k train + 1k valid)")
     p.add_argument("--frames", type=int, default=16)
@@ -35,7 +42,11 @@ def main():
 
     from ganode_tpu.data import build_rotmnist, load_mnist_idx
 
-    if args.synthetic:
+    if args.sklearn:
+        from ganode_tpu.data import load_sklearn_digits
+
+        images, labels = load_sklearn_digits(args.num, seed=args.seed)
+    elif args.synthetic:
         rng = np.random.RandomState(args.seed)
         n = min(args.num, 1000)
         images = np.full((n, 28, 28), -0.5, np.float32)

@@ -8,6 +8,11 @@ then writes sample GIFs and an FVD-vs-real curve so "it trains" is a measured
 fact, not an assertion.
 
   python scripts/demo_tpu_train.py --steps 1500 --workdir runs/demo
+
+With --data it trains on a real rotated-digit .npz (e.g. built with
+scripts/build_rotmnist.py --sklearn: genuine handwritten digit shapes) instead
+of synthetic squares, and additionally reports Inception Score from a
+classifier fit on the real labels — the quality-progression evidence artifact.
 """
 import argparse
 import json
@@ -40,10 +45,16 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="mnist_ode",
                    choices=["mnist_ode", "ucf_ode", "ucf_wgan_gp_128"])
+    p.add_argument("--data", default=None,
+                   help="rotated-digit .npz (rotmnist configs only); synthetic "
+                        "data is used when absent")
     p.add_argument("--steps", type=int, default=1500)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--n-videos", type=int, default=512)
     p.add_argument("--eval-every", type=int, default=250)
+    p.add_argument("--asset-steps", type=int, default=300,
+                   help="training steps for the once-persisted classifier/"
+                        "embedder feature models (when absent on disk)")
     p.add_argument("--workdir", default="runs/demo")
     p.add_argument("--out-json", default=None,
                    help="also write the history to this path")
@@ -62,7 +73,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from ganode_tpu.eval import VideoEmbedder, embed_videos, fvd
+    from ganode_tpu.eval import (
+        VideoEmbedder, embed_videos, fvd, inception_score, load_params,
+        save_params, train_classifier, train_video_embedder)
     from ganode_tpu.train.runner import (
         build_trainer, make_device_data_step, synthetic_rotmnist)
     from ganode_tpu.utils.config import get_config
@@ -79,7 +92,16 @@ def main():
                                      "d_iters": 1})
     trainer = build_trainer(config)
 
-    if config.dataset == "ucf101":
+    labels_np = None
+    if args.data is not None:
+        if config.dataset != "rotmnist":
+            p.error("--data supports the rotmnist configs only")
+        from ganode_tpu.data import load_rotmnist
+        videos_np, labels_np = load_rotmnist(
+            args.data, train=True, split=10**9,  # whole file resident in HBM
+            num_frames=config.video_length)
+        videos_np = videos_np * 2.0 - 1.0  # [-1,1] so reals match tanh fakes
+    elif config.dataset == "ucf101":
         size = 128 if config.trunk == "dcgan128" else 64
         videos_np = synthetic_moving_shapes(args.n_videos, config.video_length,
                                             size=size)
@@ -93,8 +115,42 @@ def main():
     step = make_device_data_step(trainer, config.d_iters, config.video_length)
 
     # eval plumbing (host side, run sparsely)
-    embedder = VideoEmbedder(feature_dim=64)
-    emb_params = embedder.init(jax.random.PRNGKey(7), videos[:1])["params"]
+    cls_apply = None
+    if labels_np is not None:
+        # persisted once-trained feature models (same assets evaluate.py uses)
+        # so IS/FVD are comparable across runs and rounds
+        n_classes = int(labels_np.max()) + 1
+        assets = os.path.join("eval_assets", config.dataset)
+        cls_path = os.path.join(assets, f"classifier_c{n_classes}.msgpack")
+        emb_path = os.path.join(assets, f"embedder_c{n_classes}.msgpack")
+        rng = np.random.RandomState(3)
+        frame_ix = rng.randint(0, videos_np.shape[1], len(videos_np))
+        real_frames = videos_np[np.arange(len(videos_np)), frame_ix]
+
+        print(f"feature models: {assets} (training if absent)", flush=True)
+        cls, cls_params, acc = train_classifier(
+            real_frames, labels_np, n_classes=n_classes,
+            steps=0 if os.path.exists(cls_path) else args.asset_steps)
+        if os.path.exists(cls_path):
+            cls_params = load_params(cls_path, cls_params)
+        else:
+            save_params(cls_path, cls_params)
+            print(f"trained + saved classifier (acc {acc:.3f})")
+        cls_apply = jax.jit(lambda v: jax.nn.softmax(
+            cls.apply({"params": cls_params}, v), axis=-1))
+
+        print("classifier ready; fitting video embedder...", flush=True)
+        embedder, emb_params, emb_acc = train_video_embedder(
+            videos_np[:512], labels_np[:512], n_classes=n_classes,
+            steps=0 if os.path.exists(emb_path) else args.asset_steps)
+        if os.path.exists(emb_path):
+            emb_params = load_params(emb_path, emb_params)
+        else:
+            save_params(emb_path, emb_params)
+            print(f"trained + saved embedder (acc {emb_acc:.3f})")
+    else:
+        embedder = VideoEmbedder(feature_dim=64)
+        emb_params = embedder.init(jax.random.PRNGKey(7), videos[:1])["params"]
     feats_real = embed_videos(embedder, emb_params, videos_np[:256], 64)
 
     def sample_fakes(state, n, seed):
@@ -119,6 +175,11 @@ def main():
             rec = {"step": i, **{k: round(v, 4) for k, v in m.items()},
                    "fvd": round(value, 4),
                    "elapsed_s": round(time.time() - t0, 1)}
+            if cls_apply is not None:
+                probs = np.asarray(cls_apply(jnp.asarray(fakes[:, 0])))
+                is_mean, is_std = inception_score(probs)
+                rec["is_mean"] = round(is_mean, 4)
+                rec["is_std"] = round(is_std, 4)
             history.append(rec)
             print(json.dumps(rec), flush=True)
             save_sample_grid(
@@ -139,6 +200,11 @@ def main():
         "fvd_first": history[0]["fvd"],
         "fvd_last": history[-1]["fvd"],
     }
+    if args.data is not None:
+        summary["data"] = args.data
+    if "is_mean" in history[0]:
+        summary["is_first"] = history[0]["is_mean"]
+        summary["is_last"] = history[-1]["is_mean"]
     with open(os.path.join(args.workdir, "history.json"), "w") as f:
         json.dump(summary, f, indent=2)
     if args.out_json:

@@ -25,7 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--method", default="rk4", choices=["euler", "rk2", "rk4"])
+    p.add_argument("--method", default="rk4",
+                   choices=["adam", "euler", "rk2", "rk4"],
+                   help="'adam' is the notebook's baseline alternating-Adam "
+                        "loop; the rest integrate the training ODE")
     p.add_argument("--arch", default="mlp", choices=["mlp", "dcgan"])
     p.add_argument("--dry-run", action="store_true",
                    help="one-batch smoke mode (the CIFAR notebook's dry_run)")
@@ -140,12 +143,43 @@ def main():
         pr = disc.apply({"params": params["dis_img"]}, batch)
         return bce_logits(pr, 1.0) + bce_logits(pf, 0.0)
 
-    trainer = ODEGANTrainer(g_loss=g_loss, d_img_loss=d_loss, lr=args.lr,
-                            reg=args.reg, method=args.method,
-                            d_iter=args.d_iter)
+    if args.method == "adam":
+        # the notebook's baseline: alternating Adam(2e-4, betas=(0.5, 0.999))
+        # (reference stage2/test_ODE_training_with_MNIST_GAN.ipynb cells 3-4)
+        import optax
 
-    d_step = jax.jit(lambda p, k, b: trainer.step(p, k, b, model="dis_img"))
-    g_step = jax.jit(lambda p, k: trainer.step(p, k, model="gen"))
+        tx = optax.adam(2e-4, b1=0.5, b2=0.999)
+        opt = {"gen": tx.init(all_params["gen"]),
+               "dis_img": tx.init(all_params["dis_img"])}
+
+        def _apply(params, which, grads):
+            upd, opt[which] = tx.update(grads, opt[which])
+            params = dict(params)
+            params[which] = optax.apply_updates(params[which], upd)
+            return params
+
+        @jax.jit
+        def _d_grads(p, k_, b):
+            return jax.grad(lambda dp: d_loss({**p, "dis_img": dp}, k_, b))(
+                p["dis_img"])
+
+        @jax.jit
+        def _g_grads(p, k_):
+            return jax.grad(lambda gp: g_loss({**p, "gen": gp}, k_, None))(
+                p["gen"])
+
+        def d_step(p, k_, b):
+            return _apply(p, "dis_img", _d_grads(p, k_, b))
+
+        def g_step(p, k_):
+            return _apply(p, "gen", _g_grads(p, k_))
+    else:
+        trainer = ODEGANTrainer(g_loss=g_loss, d_img_loss=d_loss, lr=args.lr,
+                                reg=args.reg, method=args.method,
+                                d_iter=args.d_iter)
+
+        d_step = jax.jit(lambda p, k, b: trainer.step(p, k, b, model="dis_img"))
+        g_step = jax.jit(lambda p, k: trainer.step(p, k, model="gen"))
     losses = []
     os.makedirs(args.workdir, exist_ok=True)
     # TensorBoard scalars, as the reference's CIFAR notebook did via

@@ -79,6 +79,20 @@ class TestRotMNIST:
         X, Y = load_rotmnist(path, train=True, split=1)
         assert np.all(Y == 3)
 
+    def test_sklearn_digits_source(self):
+        from ganode_tpu.data import load_sklearn_digits
+
+        imgs, labels = load_sklearn_digits(24, seed=1)
+        assert imgs.shape == (24, 28, 28) and labels.shape == (24,)
+        assert imgs.min() >= -0.5 - 1e-6 and imgs.max() <= 0.5 + 1e-6
+        assert imgs.dtype == np.float32 and set(labels) <= set(range(10))
+        imgs2, labels2 = load_sklearn_digits(24, seed=1)
+        np.testing.assert_array_equal(imgs, imgs2)
+        np.testing.assert_array_equal(labels, labels2)
+        # feeds the builder unchanged
+        X, Y = rotate_videos(imgs[:2], labels[:2], num_frames=16)
+        assert X.shape == (2, 16, 784)
+
     def test_samplers(self, tmp_path):
         imgs, labels = _fake_digits(12)
         path = str(tmp_path / "rot.npz")
