@@ -190,6 +190,67 @@ class TestCheckpoint:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         mgr.close()
 
+    def test_resume_is_bit_deterministic(self, tmp_path):
+        """Interrupted-and-resumed training equals uninterrupted training
+        bit-for-bit: the PRNG key lives in the checkpointed state and step
+        keys/batches are pure functions of the step index (the reference's
+        global-RNG resume could not make this guarantee — SURVEY §5.4)."""
+        from ganode_tpu.models import (
+            PatchImageDiscriminator, VideoDiscriminator, make_generator)
+        from ganode_tpu.train import GANTrainer
+        from ganode_tpu.utils.checkpoint import CheckpointManager
+
+        def make_trainer():
+            gen = make_generator("ode", n_channels=1, trunk="mnist28",
+                                 video_length=8, dim_z_content=4,
+                                 dim_z_motion=4, ngf=8)
+            return GANTrainer(gen=gen,
+                              dis_img=PatchImageDiscriminator(ndf=8),
+                              dis_vid=VideoDiscriminator(ksize=2, ndf=8),
+                              batch_size=2, d_iters=1)
+
+        base = jax.random.PRNGKey(7)
+
+        def batch_for(i):
+            k1, k2 = jax.random.split(jax.random.fold_in(base, 1000 + i))
+            return (jax.random.uniform(k1, (1, 2, 28, 28, 1), minval=-1,
+                                       maxval=1),
+                    jax.random.uniform(k2, (1, 2, 8, 28, 28, 1), minval=-1,
+                                       maxval=1))
+
+        def advance(trainer, state, start, n):
+            for i in range(start, start + n):
+                images, videos = batch_for(i)
+                state, _ = trainer.train_step(state, images, videos,
+                                              jax.random.fold_in(base, i))
+            return state
+
+        # uninterrupted: 4 steps
+        tr = make_trainer()
+        straight = advance(tr, tr.init_state(jax.random.PRNGKey(0)), 0, 4)
+
+        # interrupted: 2 steps, checkpoint, fresh process-equivalent restore
+        tr1 = make_trainer()
+        half = advance(tr1, tr1.init_state(jax.random.PRNGKey(0)), 0, 2)
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(2, half, wait=True)
+        mgr.close()
+
+        tr2 = make_trainer()
+        template = tr2.init_state(jax.random.PRNGKey(33))  # different seed
+        mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+        restored = mgr2.restore(template)
+        mgr2.close()
+        resumed = advance(tr2, restored, int(restored.step), 2)
+
+        for a, b in zip(jax.tree.leaves(straight.gen.params),
+                        jax.tree.leaves(resumed.gen.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(straight.dis_vid.params),
+                        jax.tree.leaves(resumed.dis_vid.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(resumed.step) == 4
+
     def test_restore_missing_raises(self, tmp_path):
         from ganode_tpu.utils.checkpoint import CheckpointManager
         mgr = CheckpointManager(str(tmp_path / "empty"))
