@@ -269,6 +269,56 @@ def main():
             result["mfu"] = round(flops / step_time / peak, 4)
             result["peak_tflops_bf16"] = peak / 1e12
 
+    # ---- throughput-optimal batch (secondary): same config at B=128 ---------
+    # The headline stays at the reference's batch 32 for parity; this line
+    # reports the single-chip peak when the batch is free to grow (bigger
+    # GEMMs -> higher MXU utilization). Skipped off-TPU to keep CI fast.
+    if on_tpu:
+        try:
+            B2 = 128
+            tr2 = GANTrainer(
+                gen=gen, dis_img=PatchImageDiscriminator(dtype=dtype),
+                dis_vid=VideoDiscriminator(ksize=4, dtype=dtype),
+                batch_size=B2, d_iters=2)
+            state2 = jax.jit(tr2.init_state)(jax.random.fold_in(key, 999))
+            images2 = jnp.asarray(rng.uniform(-1, 1, (2, B2, 64, 64, 3)),
+                                  jnp.float32)
+            videos2 = jnp.asarray(rng.uniform(-1, 1, (2, B2, T, 64, 64, 3)),
+                                  jnp.float32)
+            step2 = jax.jit(tr2.train_step)
+            state2, m2 = step2(state2, images2, videos2,
+                               jax.random.fold_in(key, 2000))
+            float(m2["gen_loss"])
+
+            def run2(n, offset):
+                s, m = state2, m2
+                for i in range(n):
+                    s, m = step2(s, images2, videos2,
+                                 jax.random.fold_in(key, offset + i))
+                return m
+
+            st2 = _slope_time(run2, lambda m: float(m["gen_loss"]),
+                              n1=4, n2=16)
+            result["large_batch"] = {
+                "batch_size": B2,
+                "step_time_ms": round(st2 * 1000, 2),
+                "clips_per_sec": round(B2 / st2, 1),
+            }
+            try:
+                ca2 = step2.lower(state2, images2, videos2,
+                                  jax.random.fold_in(key, 0)) \
+                    .compile().cost_analysis()
+                if isinstance(ca2, (list, tuple)):
+                    ca2 = ca2[0] if ca2 else {}
+                f2 = float(ca2.get("flops", 0))
+                peak = _peak_flops(result["device_kind"])
+                if f2 > 0 and peak:
+                    result["large_batch"]["mfu"] = round(f2 / st2 / peak, 4)
+            except Exception:
+                pass
+        except Exception as e:  # never let the secondary break the headline
+            result["large_batch_error"] = repr(e)[:200]
+
     torch_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BASELINE_TORCH.json")
     if os.path.exists(torch_json):

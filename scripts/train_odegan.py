@@ -152,27 +152,27 @@ def main():
         opt = {"gen": tx.init(all_params["gen"]),
                "dis_img": tx.init(all_params["dis_img"])}
 
-        def _apply(params, which, grads):
-            upd, opt[which] = tx.update(grads, opt[which])
-            params = dict(params)
-            params[which] = optax.apply_updates(params[which], upd)
-            return params
+        @jax.jit
+        def _d_update(p, o, k_, b):
+            grads = jax.grad(
+                lambda dp: d_loss({**p, "dis_img": dp}, k_, b))(p["dis_img"])
+            upd, o = tx.update(grads, o)
+            return {**p, "dis_img": optax.apply_updates(p["dis_img"], upd)}, o
 
         @jax.jit
-        def _d_grads(p, k_, b):
-            return jax.grad(lambda dp: d_loss({**p, "dis_img": dp}, k_, b))(
-                p["dis_img"])
-
-        @jax.jit
-        def _g_grads(p, k_):
-            return jax.grad(lambda gp: g_loss({**p, "gen": gp}, k_, None))(
-                p["gen"])
+        def _g_update(p, o, k_):
+            grads = jax.grad(
+                lambda gp: g_loss({**p, "gen": gp}, k_, None))(p["gen"])
+            upd, o = tx.update(grads, o)
+            return {**p, "gen": optax.apply_updates(p["gen"], upd)}, o
 
         def d_step(p, k_, b):
-            return _apply(p, "dis_img", _d_grads(p, k_, b))
+            p, opt["dis_img"] = _d_update(p, opt["dis_img"], k_, b)
+            return p
 
         def g_step(p, k_):
-            return _apply(p, "gen", _g_grads(p, k_))
+            p, opt["gen"] = _g_update(p, opt["gen"], k_)
+            return p
     else:
         trainer = ODEGANTrainer(g_loss=g_loss, d_img_loss=d_loss, lr=args.lr,
                                 reg=args.reg, method=args.method,
@@ -180,6 +180,11 @@ def main():
 
         d_step = jax.jit(lambda p, k, b: trainer.step(p, k, b, model="dis_img"))
         g_step = jax.jit(lambda p, k: trainer.step(p, k, model="gen"))
+
+    # logging losses jitted: eager apply through a remote-tunnel backend
+    # dispatches thousands of tiny ops (see CLAUDE.md)
+    g_loss_j = jax.jit(lambda p, k_: g_loss(p, k_, None))
+    d_loss_j = jax.jit(d_loss)
     losses = []
     os.makedirs(args.workdir, exist_ok=True)
     # TensorBoard scalars, as the reference's CIFAR notebook did via
@@ -194,8 +199,8 @@ def main():
             all_params = d_step(all_params, jax.random.fold_in(k, 100 + i), batch)
         all_params = g_step(all_params, jax.random.fold_in(k, 200))
         if step % 20 == 0:
-            gl = float(g_loss(all_params, k, None))
-            dl = float(d_loss(all_params, k, batch))
+            gl = float(g_loss_j(all_params, k))
+            dl = float(d_loss_j(all_params, k, batch))
             losses.append({"step": step, "g_loss": gl, "d_loss": dl})
             tb.add_scalars({f"{args.method}/g_loss": gl,
                             f"{args.method}/d_loss": dl}, step)
