@@ -4,6 +4,7 @@ from .mesh import (
     make_parallel_step,
     replicate,
     shard_batch,
+    shard_batch_seq,
     shard_params_tp,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "make_parallel_step",
     "replicate",
     "shard_batch",
+    "shard_batch_seq",
     "shard_params_tp",
 ]

@@ -58,6 +58,27 @@ def shard_batch(batch, mesh: Mesh, batch_axis: int = 0):
     return jax.tree.map(place, batch)
 
 
+def shard_batch_seq(videos, mesh: Mesh, *, batch_axis: int = 1,
+                    time_axis: int = 2, data_axis: str = "data",
+                    seq_axis: str = "seq"):
+    """Shard clips over batch ('data') AND frame/time ('seq') axes — the
+    sequence-parallel layout for long clips (SURVEY §5.7: the frame axis plays
+    the role of context parallelism in this model family).
+
+    The video discriminator's temporal convolutions then run spatially
+    partitioned over 'seq' (GSPMD inserts the halo exchanges), so clips longer
+    than one chip's activation memory scale across the mesh instead of
+    shrinking the batch. The generator trunk is frame-independent, so its
+    B*T-flattened work distributes under the same mesh unchanged.
+    """
+    def place(x):
+        spec = [None] * np.ndim(x)
+        spec[batch_axis] = data_axis
+        spec[time_axis] = seq_axis
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+    return jax.tree.map(place, videos)
+
+
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree over the mesh."""
     sharding = NamedSharding(mesh, P())

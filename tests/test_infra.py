@@ -338,6 +338,49 @@ class TestParallel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-5)
 
+    def test_dp_sp_step_matches_single_device(self):
+        """DP x sequence-parallel: clips sharded over batch AND frame axes
+        (the frame axis is this model family's context-parallel dimension,
+        SURVEY §5.7). The video discriminator's temporal convs run spatially
+        partitioned over 'seq' (GSPMD halo exchange); results must match the
+        single-device step."""
+        from ganode_tpu.models import (
+            PatchImageDiscriminator, VideoDiscriminator, make_generator)
+        from ganode_tpu.parallel import (
+            make_mesh, replicate, shard_batch, shard_batch_seq)
+        from ganode_tpu.train import GANTrainer
+
+        T = 8
+        gen = make_generator("ode", n_channels=1, trunk="mnist28",
+                             video_length=T, dim_z_content=4, dim_z_motion=4,
+                             ngf=8)
+        tr = GANTrainer(gen=gen, dis_img=PatchImageDiscriminator(ndf=8),
+                        dis_vid=VideoDiscriminator(ksize=2, ndf=8),
+                        batch_size=8, d_iters=1)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        images = rng.uniform(-1, 1, (1, 8, 28, 28, 1)).astype(np.float32)
+        videos = rng.uniform(-1, 1, (1, 8, T, 28, 28, 1)).astype(np.float32)
+        key = jax.random.PRNGKey(1)
+
+        s1, m1 = jax.jit(tr.train_step)(state, images, videos, key)
+
+        mesh = make_mesh(8, ("data", "seq"), shape=(4, 2))
+        st = replicate(state, mesh)
+        im = shard_batch(images, mesh, batch_axis=1)
+        vi = shard_batch_seq(videos, mesh, batch_axis=1, time_axis=2)
+        assert vi.sharding.spec[1] == "data" and vi.sharding.spec[2] == "seq"
+        s8, m8 = jax.jit(tr.train_step)(st, im, vi, key)
+
+        np.testing.assert_allclose(float(m1["gen_loss"]), float(m8["gen_loss"]),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(float(m1["dis_vid_loss"]),
+                                   float(m8["dis_vid_loss"]), rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(s1.dis_vid.params),
+                        jax.tree.leaves(s8.dis_vid.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+
     def test_multihost_feeding_into_parallel_step(self):
         """make_global_batch -> sharded parallel step: the multi-host feeding
         path (jax.make_array_from_process_local_data). Single-process here, so
