@@ -273,8 +273,8 @@ def main():
     # The headline stays at the reference's batch 32 for parity; this line
     # reports the single-chip peak when the batch is free to grow (bigger
     # GEMMs -> higher MXU utilization). Skipped off-TPU to keep CI fast.
-    if on_tpu:
-        try:
+    if on_tpu and compile_s < 300:  # skip when the tunnel is cold/erratic to
+        try:                        # keep total bench wall time bounded
             B2 = 128
             tr2 = GANTrainer(
                 gen=gen, dis_img=PatchImageDiscriminator(dtype=dtype),
