@@ -60,6 +60,9 @@ def main():
                    help="also write the history to this path")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 conv compute (TPU mixed precision)")
+    p.add_argument("--motion-method", default=None,
+                   help="override the motion solver (e.g. dopri5 to train "
+                        "with the adaptive solver + custom-vjp backsolve)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="shrink the model for CPU smoke runs")
@@ -85,6 +88,8 @@ def main():
     overrides = {"batch_size": args.batch_size}
     if args.bf16:
         overrides["compute_dtype"] = "bfloat16"
+    if args.motion_method:
+        overrides["motion_method"] = args.motion_method
     config = get_config(args.config, **overrides)
     if args.tiny:
         config = config.__class__(**{**config.__dict__, "ngf": 8, "ndf": 8,
