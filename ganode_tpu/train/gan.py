@@ -73,6 +73,9 @@ class GANTrainer:
     weight_decay: float = 1e-5
     param_noise_sigma: float = 0.0
     gp_weight: float = 0.0
+    # EMA of generator params (0 = off). Sampling helpers prefer the EMA
+    # weights in eval mode; the raw params keep training unchanged.
+    ema_decay: float = 0.0
 
     def __post_init__(self):
         if self.loss not in LOSSES:
@@ -124,7 +127,19 @@ class GANTrainer:
             dis_vid=net_state(vid_vars),
             step=jnp.asarray(0, jnp.int32),
             key=key,
+            ema_params=(jax.tree.map(jnp.asarray, gen_vars["params"])
+                        if self.ema_decay > 0 else None),
         )
+
+    def eval_gen_variables(self, state: GANState) -> dict:
+        """Generator variables for eval-mode sampling: the EMA weights when
+        enabled (the stabilized view of training), raw params otherwise."""
+        params = state.ema_params if state.ema_params is not None \
+            else state.gen.params
+        v = {"params": params, "batch_stats": state.gen.batch_stats}
+        if state.gen.spectral is not None:
+            v["spectral"] = state.gen.spectral
+        return v
 
     # ------------------------------------------------------------- internals
     def _sample(self, net: NetState, key, n: int, what: str):
@@ -240,6 +255,11 @@ class GANTrainer:
             state = state.replace(dis_vid=new_dv)
 
         state, gen_loss = self._g_update(state, jax.random.fold_in(key, 1000))
+        if self.ema_decay > 0 and state.ema_params is not None:
+            d = self.ema_decay
+            state = state.replace(ema_params=jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p,
+                state.ema_params, state.gen.params))
         state = state.replace(step=state.step + 1)
         metrics = {
             "dis_img_loss": dis_img_loss,

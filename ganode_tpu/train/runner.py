@@ -84,6 +84,7 @@ def build_trainer(config: ExperimentConfig) -> GANTrainer:
         weight_decay=config.weight_decay,
         param_noise_sigma=config.param_noise_sigma,
         gp_weight=config.gp_weight,
+        ema_decay=config.ema_decay,
     )
 
 
@@ -289,9 +290,7 @@ def _write_samples(trainer: GANTrainer, state, path: str,
                    config: ExperimentConfig, n: int = 8):
     """8x8 grid GIF in eval mode (the reference flips g.eval()/g.train() around
     sampling, mnist_moco_ode.py:32-35)."""
-    variables = {"params": state.gen.params, "batch_stats": state.gen.batch_stats}
-    if state.gen.spectral is not None:  # SN-bearing trunks (gres64/odegres64)
-        variables["spectral"] = state.gen.spectral
+    variables = trainer.eval_gen_variables(state)
     (videos, _) = trainer.gen.apply(
         variables, n * n, method="sample_videos",
         rngs={"sample": jax.random.PRNGKey(int(state.step))}, train=False)

@@ -25,3 +25,8 @@ class GANState:
     dis_vid: NetState
     step: jax.Array
     key: jax.Array
+    # Exponential moving average of the generator params (None when disabled).
+    # A beyond-reference stabilizer: sampling/eval from the EMA weights smooths
+    # the oscillation alternating GAN training produces (measured on the
+    # rotated-digit runs: per-checkpoint FVD swings 2-4x between evals).
+    ema_params: Any = None

@@ -50,6 +50,9 @@ class ExperimentConfig:
     loss: str = "bce"                 # bce | wasserstein | hinge
     param_noise_sigma: float = 0.0
     gp_weight: float = 0.0
+    # EMA of generator params for eval-mode sampling (0 = off; 0.999 is a
+    # good default when enabled). Beyond-reference stabilizer.
+    ema_decay: float = 0.0
     # data
     dataset: str = "rotmnist"         # rotmnist | ucf101
     data_path: str = "data/rot-mnist.npz"

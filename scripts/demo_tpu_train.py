@@ -60,6 +60,9 @@ def main():
                    help="also write the history to this path")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 conv compute (TPU mixed precision)")
+    p.add_argument("--ema", type=float, default=0.0,
+                   help="generator-EMA decay (e.g. 0.999); eval sampling then "
+                        "uses the smoothed weights")
     p.add_argument("--motion-method", default=None,
                    help="override the motion solver (e.g. dopri5 to train "
                         "with the adaptive solver + custom-vjp backsolve)")
@@ -90,6 +93,8 @@ def main():
         overrides["compute_dtype"] = "bfloat16"
     if args.motion_method:
         overrides["motion_method"] = args.motion_method
+    if args.ema:
+        overrides["ema_decay"] = args.ema
     config = get_config(args.config, **overrides)
     if args.tiny:
         config = config.__class__(**{**config.__dict__, "ngf": 8, "ndf": 8,
@@ -159,8 +164,7 @@ def main():
     feats_real = embed_videos(embedder, emb_params, videos_np[:256], 64)
 
     def sample_fakes(state, n, seed):
-        variables = {"params": state.gen.params,
-                     "batch_stats": state.gen.batch_stats}
+        variables = trainer.eval_gen_variables(state)
         outs = []
         for j in range(0, n, 64):
             (v, _) = trainer.gen.apply(

@@ -87,7 +87,7 @@ def main():
     real_labels = np.concatenate(real_labels)[:n_real].astype(np.int64)
 
     # ---- fake samples (eval mode, like the reference's genSamples) ----------
-    variables = {"params": state.gen.params, "batch_stats": state.gen.batch_stats}
+    variables = trainer.eval_gen_variables(state)  # EMA weights when enabled
     fake_videos = []
     for j in range(0, n_real, args.batch_size):
         n = min(args.batch_size, n_real - j)

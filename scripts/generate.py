@@ -51,9 +51,7 @@ def main():
     else:
         print("WARNING: no checkpoint — generating from the initial model")
 
-    variables = {"params": state.gen.params, "batch_stats": state.gen.batch_stats}
-    if state.gen.spectral is not None:
-        variables["spectral"] = state.gen.spectral
+    variables = trainer.eval_gen_variables(state)  # EMA weights when enabled
     key = jax.random.PRNGKey(args.seed)
     videos = []
     for j in range(0, args.num, args.batch_size):

@@ -48,6 +48,55 @@ def test_bce_matches_torch():
 
 
 class TestTrainStep:
+    def test_ema_generator(self):
+        """ema_decay > 0: state carries an EMA of the generator params that
+        follows e' = d*e + (1-d)*p after each G update, and eval sampling
+        (eval_gen_variables) serves the EMA weights; off by default."""
+        d = 0.5
+        trainer = _tiny_trainer(d_iters=1, ema_decay=d)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        assert state.ema_params is not None
+        expected = jax.tree.map(jnp.asarray, state.gen.params)
+        images, videos = _fake_batches(jax.random.PRNGKey(1), d_iters=1)
+        for i in range(2):
+            state, _ = trainer.train_step(state, images, videos,
+                                          jax.random.PRNGKey(2 + i))
+            expected = jax.tree.map(lambda e, p: d * e + (1 - d) * p,
+                                    expected, state.gen.params)
+        for a, b in zip(jax.tree.leaves(state.ema_params),
+                        jax.tree.leaves(expected)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+        # EMA differs from the raw params and is what eval sampling serves
+        diffs = [float(jnp.max(jnp.abs(a - b))) for a, b in zip(
+            jax.tree.leaves(state.ema_params),
+            jax.tree.leaves(state.gen.params))]
+        assert max(diffs) > 0
+        v = trainer.eval_gen_variables(state)
+        assert v["params"] is state.ema_params
+
+        # default: off, raw params served
+        t0 = _tiny_trainer(d_iters=1)
+        s0 = t0.init_state(jax.random.PRNGKey(0))
+        assert s0.ema_params is None
+        assert t0.eval_gen_variables(s0)["params"] is s0.gen.params
+
+    def test_ema_checkpoint_roundtrip(self, tmp_path):
+        from ganode_tpu.utils.checkpoint import CheckpointManager
+
+        trainer = _tiny_trainer(d_iters=1, ema_decay=0.9)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        images, videos = _fake_batches(jax.random.PRNGKey(1), d_iters=1)
+        state, _ = trainer.train_step(state, images, videos,
+                                      jax.random.PRNGKey(2))
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(1, state, wait=True)
+        restored = mgr.restore(trainer.init_state(jax.random.PRNGKey(9)))
+        mgr.close()
+        for a, b in zip(jax.tree.leaves(state.ema_params),
+                        jax.tree.leaves(restored.ema_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_one_step_updates_everything(self):
         trainer = _tiny_trainer()
         state = trainer.init_state(jax.random.PRNGKey(0))
