@@ -60,6 +60,10 @@ def main():
                    help="also write the history to this path")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 conv compute (TPU mixed precision)")
+    p.add_argument("--save-checkpoint", action="store_true",
+                   help="write the final state as an orbax checkpoint under "
+                        "<workdir>/checkpoints so generate.py / evaluate.py "
+                        "can consume the trained model")
     p.add_argument("--ema", type=float, default=0.0,
                    help="generator-EMA decay (e.g. 0.999); eval sampling then "
                         "uses the smoothed weights")
@@ -194,6 +198,13 @@ def main():
             save_sample_grid(
                 os.path.join(args.workdir, f"samples_{i:05d}.gif"),
                 fakes[:16], n=4)
+
+    if args.save_checkpoint:
+        from ganode_tpu.utils.checkpoint import CheckpointManager
+        mgr = CheckpointManager(os.path.join(args.workdir, "checkpoints"))
+        mgr.save(int(state.step), state, wait=True)
+        mgr.close()
+        print(f"checkpoint saved at step {int(state.step)}", flush=True)
 
     losses = [abs(r[k]) for r in history
               for k in ("dis_img_loss", "dis_vid_loss", "gen_loss")]
