@@ -12,7 +12,13 @@ from .rotmnist import (
     load_sklearn_digits,
     rotate_videos,
 )
-from .video import default_resize_geometry, resample_frame_indices, resize_crop
+from .video import (
+    default_resize_geometry,
+    read_video_timestamps,
+    read_video_with_info,
+    resample_frame_indices,
+    resize_crop,
+)
 from .clips import (
     ClipIndex,
     UCF101RandomClipSampler,
@@ -47,6 +53,8 @@ __all__ = [
     "UCF101ImageSampler",
     "build_rotmnist",
     "default_resize_geometry",
+    "read_video_timestamps",
+    "read_video_with_info",
     "resample_frame_indices",
     "resize_crop",
     "load_mnist_idx",

@@ -104,6 +104,62 @@ def resize_crop(video: np.ndarray, image_size: int = 64,
     return out[:, :, x_offset:x_offset + image_size, :]
 
 
+def read_video_timestamps(path: str) -> Tuple[np.ndarray, float]:
+    """Per-frame presentation timestamps in SECONDS + container fps.
+
+    The pts surface of the reference's vendored reader (reference
+    dataset/video/video_utils.py:201-210 pts_convert, :296-315 parallel
+    timestamp scan): its VideoClips needed real pts to window variable-
+    frame-rate videos. Here timestamps come from FFmpeg via OpenCV's
+    CAP_PROP_POS_MSEC after each ``grab()`` (container demux only, no pixel
+    decode), so VFR files report their true, non-uniform pts rather than a
+    frame_index/fps approximation.
+    """
+    _require_cv2()
+    cap = cv2.VideoCapture(path)
+    pts = []
+    try:
+        fps = float(cap.get(cv2.CAP_PROP_FPS))
+        while cap.grab():
+            pts.append(cap.get(cv2.CAP_PROP_POS_MSEC) / 1000.0)
+    finally:
+        cap.release()
+    fps = fps if np.isfinite(fps) and fps > 0 else 0.0
+    out = np.asarray(pts, np.float64)
+    # some containers report POS_MSEC of the NEXT frame or 0 for the first;
+    # normalize so pts[0] == 0 like the reference's start-offset handling
+    if out.size and out[0] > 0:
+        out = out - out[0]
+    return out, fps
+
+
+def read_video_with_info(path: str, start: int = 0,
+                         end: Optional[int] = None):
+    """(video, audio, info) with the reference reader's return contract
+    (reference dataset/video/video_utils.py:117-198 read_video returns video
+    frames, audio samples, and an info dict with video_fps/audio_fps).
+
+    video: (T, H, W, C) uint8 RGB frames [start, end] inclusive.
+    audio: (0, 0) float32 — ALWAYS empty: this environment has no audio
+        decode backend at all (no PyAV, no ffmpeg CLI, no torchaudio;
+        OpenCV's VideoCapture is video-only), and no GAN pipeline here or in
+        the reference consumes audio. The empty array keeps the tuple shape
+        of the reference API; ``info['audio_fps'] is None`` marks the stream
+        as absent rather than silent.
+    info: {'video_fps': float, 'audio_fps': None,
+           'pts': per-returned-frame presentation timestamps (seconds)}.
+    """
+    video = read_video(path, start, end)
+    pts, fps = read_video_timestamps(path)
+    stop = start + video.shape[0]
+    info = {
+        "video_fps": fps,
+        "audio_fps": None,
+        "pts": pts[start:stop],
+    }
+    return video, np.zeros((0, 0), np.float32), info
+
+
 def probe_fps(path: str) -> float:
     """Container-reported frames-per-second (0.0 when unknown)."""
     _require_cv2()

@@ -299,6 +299,12 @@ class FastGradConv3D(nn.Module):
     data-gradient lowering changes (ops/conv3d_grad.py: XLA's native gradient
     runs at ~6 TFLOP/s when C_in is the 3-channel video input, ~35% of the
     whole-step time lives in this discriminator's backward).
+
+    Compat note (ADVICE r2): introducing this module renamed the first conv's
+    param path in PatchVideoDiscriminator / ksize-4 VideoDiscriminator
+    (Conv_0 -> FastGradConv3D_0, remaining Conv_i renumbered), so checkpoints
+    written before round 2's e0cf300 do not restore. No such checkpoints were
+    published; all committed runs/ artifacts postdate it.
     """
 
     features: int

@@ -47,12 +47,23 @@ def conv3d_s122(x, w):
         dimension_numbers=_DN3)
 
 
-def conv3d_s122_dx_tfold(dy, w, t_in: int, s_in: int):
+def conv3d_s122_dx_tfold(dy, w, t_in: int, h_in: int, w_in: int = None):
     """Data gradient of conv3d_s122: time taps folded into channels, spatial
     gradient left to XLA's native transposed-conv lowering.
 
-    dy: (B, T', H/2, W/2, Co); returns dx (B, t_in, s_in, s_in, Ci).
+    dy: (B, T', H/2, W/2, Co); returns dx (B, t_in, h_in, w_in, Ci).
+
+    Requires EVEN h_in and w_in: the stride-2 transposed spatial conv
+    reconstructs 2*floor((s-2)/2 + 1) rows, which equals s only when s is
+    even (ADVICE r2). ``conv3d_first`` dispatches odd shapes to the native
+    gradient instead of calling this.
     """
+    if w_in is None:
+        w_in = h_in
+    if h_in % 2 or w_in % 2:
+        raise ValueError(
+            f"conv3d_s122_dx_tfold needs even spatial input, got "
+            f"({h_in}, {w_in}); use the native conv gradient instead")
     B, tp, hm, wm, co = dy.shape
     kt_, _, _, ci, _ = w.shape
     # spatial fwd-conv kernel with (kt, ci) folded input features
@@ -72,14 +83,11 @@ def conv3d_s122_dx_tfold(dy, w, t_in: int, s_in: int):
     dx = sum(jnp.pad(sp[:, :, :, :, kt], ((0, 0), (kt, kt_ - 1 - kt),
                                           (0, 0), (0, 0), (0, 0)))
              for kt in range(kt_))
-    return dx[:, :t_in, :s_in, :s_in, :]
+    return dx[:, :t_in, :h_in, :w_in, :]
 
 
 @jax.custom_vjp
-def conv3d_first(x, w):
-    """The video discriminators' first (4,4,4)/(1,2,2) conv with an MXU-folded
-    data gradient. Forward and weight gradient are XLA-native; only the input
-    gradient (the ~6 TFLOP/s pathology at small C_in) is rewritten."""
+def _conv3d_first_fast(x, w):
     return conv3d_s122(x, w)
 
 
@@ -89,11 +97,25 @@ def _fwd(x, w):
 
 def _bwd(res, dy):
     x, w = res
-    dx = conv3d_s122_dx_tfold(dy, w, x.shape[1], x.shape[2])
+    dx = conv3d_s122_dx_tfold(dy, w, x.shape[1], x.shape[2], x.shape[3])
     # weight grad via XLA's own vjp (fast at these shapes)
     _, vjp = jax.vjp(lambda w_: conv3d_s122(x, w_), w)
     (dw,) = vjp(dy)
     return dx, dw
 
 
-conv3d_first.defvjp(_fwd, _bwd)
+_conv3d_first_fast.defvjp(_fwd, _bwd)
+
+
+def conv3d_first(x, w):
+    """The video discriminators' first (4,4,4)/(1,2,2) conv with an MXU-folded
+    data gradient. Forward and weight gradient are XLA-native; only the input
+    gradient (the ~6 TFLOP/s pathology at small C_in) is rewritten.
+
+    Odd H or W falls back to the fully-native conv (same values, XLA's own
+    gradient): the folded reconstruction is only exact for even spatial sizes
+    (ADVICE r2). Shapes are static under jit, so the dispatch costs nothing.
+    """
+    if x.shape[2] % 2 or x.shape[3] % 2:
+        return conv3d_s122(x, w)
+    return _conv3d_first_fast(x, w)

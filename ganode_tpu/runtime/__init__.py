@@ -1,4 +1,15 @@
-"""Native (C++) host runtime: threaded mmap clip loader."""
-from .native import NativeClipLoader, build_library
+"""Native (C++) host runtime: threaded mmap clip loader + keyed-protocol
+sampler facades the training runner consumes (config data_loader='native')."""
+from .native import (
+    NativeClipLoader,
+    NativeClipSampler,
+    NativeImageSampler,
+    build_library,
+)
 
-__all__ = ["NativeClipLoader", "build_library"]
+__all__ = [
+    "NativeClipLoader",
+    "NativeClipSampler",
+    "NativeImageSampler",
+    "build_library",
+]

@@ -149,8 +149,14 @@ extern "C" {
 void* gl_open(const char* frames_path, const int64_t* offsets,
               const int64_t* lengths, const int64_t* labels, int64_t n_videos,
               int64_t n_frame, int64_t batch, int64_t height, int64_t width,
-              int64_t channels, int64_t n_threads, uint64_t seed) {
+              int64_t channels, int64_t n_threads, uint64_t seed,
+              int64_t start_batch) {
   auto* L = new Loader();
+  // resume support: the stream continues from batch index `start_batch`, and
+  // because fill_batch derives every sample from (seed, batch_idx, s) alone,
+  // the continuation is bit-identical to an uninterrupted run.
+  L->next_to_produce = start_batch;
+  L->next_to_consume = start_batch;
   L->n_frame = n_frame;
   L->batch = batch;
   L->height = height;

@@ -38,7 +38,7 @@ def _load():
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64, ctypes.c_int64,
     ]
     lib.gl_next.restype = ctypes.c_int
     lib.gl_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
@@ -49,10 +49,15 @@ def _load():
 
 
 class NativeClipLoader:
-    """Threaded native sampler over a packed shard directory."""
+    """Threaded native sampler over a packed shard directory.
+
+    ``start_batch`` fast-forwards the stream: batch i is derived purely from
+    (seed, i) in the C++ ring, so a loader opened at start_batch=n continues
+    bit-identically to an uninterrupted run's batch n (resume support).
+    """
 
     def __init__(self, pack_dir: str, batch_size: int, *, n_frame: int = 16,
-                 n_threads: int = 4, seed: int = 0):
+                 n_threads: int = 4, seed: int = 0, start_batch: int = 0):
         from ..data.ucf101 import PackedVideoDataset
 
         self._lib = _load()
@@ -72,7 +77,7 @@ class NativeClipLoader:
         self._h = self._lib.gl_open(
             frames_path, as_p(self._offsets), as_p(self._lengths),
             as_p(self._labels), len(ds),
-            n_frame, batch_size, size, size, ch, n_threads, seed)
+            n_frame, batch_size, size, size, ch, n_threads, seed, start_batch)
         if not self._h:
             raise ValueError(
                 f"native loader failed to open {pack_dir} (missing files or no "
@@ -104,3 +109,52 @@ class NativeClipLoader:
             self.close()
         except Exception:
             pass
+
+
+class NativeClipSampler:
+    """``.sample(key)``-compatible facade over :class:`NativeClipLoader` — the
+    adapter that lets train/runner.py swap the Python ``UCF101ClipSampler``
+    (whose per-batch window gather is a Python loop, data/ucf101.py:220-223)
+    for the C++ thread ring without touching the training loop.
+
+    Reproducibility contract: the keyed samplers derive batch content from the
+    key; here batch i is bit-reproducible from ``(seed, start_batch + i)``
+    inside the C++ ring (clip_loader.cc fill_batch), independent of thread
+    count. The ``key`` argument is accepted for protocol compatibility and
+    ignored — the runner's deterministic call order plus the counter-based
+    C++ RNG gives the same end-to-end guarantee. On resume, pass
+    ``start_batch`` = number of batches already consumed to continue the
+    exact stream (run_training computes this from the restored step).
+    """
+
+    def __init__(self, pack_dir: str, batch_size: int, *, n_frame: int = 16,
+                 n_threads: int = 4, seed: int = 0, start_batch: int = 0):
+        self._loader = NativeClipLoader(
+            pack_dir, batch_size, n_frame=n_frame, n_threads=n_threads,
+            seed=seed, start_batch=start_batch)
+
+    def sample(self, key=None) -> Tuple[np.ndarray, np.ndarray]:
+        return self._loader.next()
+
+    def close(self):
+        self._loader.close()
+
+
+class NativeImageSampler:
+    """Random single frames through the native ring: an n_frame=1 window over
+    a video of length L starts uniformly in [0, L-1] — exactly the Python
+    ``UCF101ImageSampler``'s uniform-video/uniform-frame semantics (reference
+    dataset/ucf101new.py:169-180). Serves (B, H, W, C)."""
+
+    def __init__(self, pack_dir: str, batch_size: int, *, n_threads: int = 2,
+                 seed: int = 0, start_batch: int = 0):
+        self._loader = NativeClipLoader(
+            pack_dir, batch_size, n_frame=1, n_threads=n_threads, seed=seed,
+            start_batch=start_batch)
+
+    def sample(self, key=None) -> Tuple[np.ndarray, np.ndarray]:
+        clips, labels = self._loader.next()
+        return clips[:, 0], labels
+
+    def close(self):
+        self._loader.close()

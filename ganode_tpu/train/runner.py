@@ -118,12 +118,17 @@ def synthetic_ucf(config: ExperimentConfig, n_videos: int = 16, seed: int = 0):
 
 
 def build_data(config: ExperimentConfig, *, synthetic: bool = False,
-               value_range=None):
+               value_range=None, start_step: int = 0):
     """Returns (image_sampler, video_sampler) with .sample(key) methods.
 
     ``value_range`` (rotmnist only) rescales the served values; training keeps
     the reference's [0, 1] quirk (reference dataset/mnist_rotation.py:28-32),
     but evaluation must compare reals and tanh fakes on the same [-1, 1] scale.
+
+    ``start_step`` (native loader only) fast-forwards the C++ batch streams on
+    resume so the continuation is bit-identical to an uninterrupted run; the
+    keyed Python samplers don't need it (their batches derive from the step
+    key alone).
     """
     if config.dataset == "rotmnist":
         if synthetic or not os.path.exists(config.data_path):
@@ -168,6 +173,28 @@ def build_data(config: ExperimentConfig, *, synthetic: bool = False,
                                       for ii, ss in zip(i, s)]), labels[i])
 
             return _Imgs(), _Vids()
+        if config.data_loader == "native":
+            # C++ thread-ring feeding (runtime/clip_loader.cc): replaces the
+            # Python per-batch window gather with prefetched native batches.
+            # One training step consumes d_iters batches from each stream.
+            from ..runtime import NativeClipSampler, NativeImageSampler
+
+            start = start_step * config.d_iters
+            return (
+                NativeImageSampler(
+                    config.data_path, config.batch_size,
+                    n_threads=max(1, config.data_loader_threads // 2),
+                    seed=config.seed + 1, start_batch=start),
+                NativeClipSampler(
+                    config.data_path, config.batch_size,
+                    n_frame=config.video_length,
+                    n_threads=config.data_loader_threads,
+                    seed=config.seed, start_batch=start),
+            )
+        if config.data_loader != "python":
+            raise ValueError(
+                f"unknown data_loader {config.data_loader!r}; "
+                "choose 'python' or 'native'")
         return (UCF101ImageSampler(config.data_path, config.batch_size),
                 UCF101ClipSampler(config.data_path, config.batch_size,
                                   n_frame=config.video_length))
@@ -219,7 +246,6 @@ def run_training(
     os.makedirs(workdir, exist_ok=True)
     steps = steps if steps is not None else config.steps
     trainer = build_trainer(config)
-    img_sampler, vid_sampler = build_data(config, synthetic=synthetic)
 
     key = jax.random.PRNGKey(config.seed)
     state = trainer.init_state(key)
@@ -229,6 +255,10 @@ def run_training(
     if resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         start_step = int(state.step)
+    # data comes up after restore so the native loader's batch streams can
+    # fast-forward to the resume point (python samplers ignore start_step)
+    img_sampler, vid_sampler = build_data(config, synthetic=synthetic,
+                                          start_step=start_step)
 
     logger = MetricsLogger(os.path.join(workdir, "metrics.jsonl"),
                            print_every=config.log_every)
@@ -283,6 +313,9 @@ def run_training(
     logger.close()
     if tb is not None:
         tb.close()
+    for s in (img_sampler, vid_sampler):  # native samplers own C++ threads
+        if hasattr(s, "close"):
+            s.close()
     return state, {k: float(v) for k, v in metrics.items()}
 
 

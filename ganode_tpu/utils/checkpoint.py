@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
+import jax
 import orbax.checkpoint as ocp
 
 
@@ -34,11 +35,40 @@ class CheckpointManager:
 
     def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
         """Restore into the structure of ``state_like`` (an abstract or concrete
-        GANState used as the target pytree)."""
+        GANState used as the target pytree).
+
+        The ``ema_params`` subtree is reconciled against the checkpoint's own
+        metadata: a template built from a config whose ``ema_decay`` differs
+        from the training run's (e.g. evaluate.py constructing the default
+        config to read an ``--ema``-trained checkpoint) would otherwise hand
+        orbax a structure mismatch and fail. EMA mirrors the generator params
+        exactly, so the template can always be adapted in place.
+        """
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        state_like = self._reconcile_ema(state_like, step)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(state_like))
+
+    def _reconcile_ema(self, state_like: Any, step: int) -> Any:
+        """Align the template's ema_params slot with what the checkpoint holds."""
+        if not (hasattr(state_like, "ema_params")
+                and hasattr(state_like, "replace")
+                and hasattr(state_like, "gen")):
+            return state_like
+        try:
+            saved = self._mgr.item_metadata(step).tree.get("ema_params")
+        except Exception:
+            return state_like  # older orbax / non-tree item: leave unchanged
+        if saved is not None and state_like.ema_params is None:
+            # Checkpoint carries EMA weights the template didn't plan for:
+            # EMA is structurally a copy of the generator params (train/gan.py
+            # init_state), so the generator subtree is the correct template.
+            return state_like.replace(
+                ema_params=jax.tree.map(lambda x: x, state_like.gen.params))
+        if saved is None and state_like.ema_params is not None:
+            return state_like.replace(ema_params=None)
+        return state_like
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

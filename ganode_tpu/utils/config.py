@@ -17,7 +17,11 @@ class ExperimentConfig:
     name: str
     # model
     variant: str = "ode"              # gru | ode | sde | cde | ode_rnn
-    trunk: str = "mnist28"            # mnist28 | dcgan64 | dcgan128
+    # Output trunk geometry: mnist28 | dcgan64 | dcgan128 (deconv stacks), or
+    # the stage-1 DVD-GAN-class trunks the reference built blocks for but
+    # never assembled — gres64 (SN+CBN GResBlocks) and odegres64 (continuous-
+    # depth: each block an ODE flow in channel-augmented space).
+    trunk: str = "mnist28"
     n_channels: int = 1
     dim_z_content: int = 50
     dim_z_category: int = 0
@@ -57,6 +61,13 @@ class ExperimentConfig:
     dataset: str = "rotmnist"         # rotmnist | ucf101
     data_path: str = "data/rot-mnist.npz"
     digits: Optional[Tuple[int, ...]] = None
+    # batch feeding backend for packed ucf101: 'python' gathers windows in a
+    # per-batch Python loop (data/ucf101.py), 'native' serves prefetched
+    # batches from the C++ thread ring (runtime/clip_loader.cc) — same
+    # normalization, bit-reproducible from (seed, batch index).
+    data_loader: str = "python"       # python | native
+    # worker threads for the native ring (ignored by the python loader)
+    data_loader_threads: int = 4
     # io cadence (reference mnist_moco_ode.py:164-182)
     tensorboard: bool = True          # mirror metrics to <workdir>/tb events
     log_every: int = 100
@@ -114,6 +125,29 @@ def ucf_ode(**kw) -> ExperimentConfig:
     return ExperimentConfig(name="ucf_ode", variant="ode", **kw)
 
 
+def ucf_gres(**kw) -> ExperimentConfig:
+    """Stage-1 GResBlock trunk assembled into a trainable 64x64 video GAN —
+    the model the reference's stage 1 built blocks for but never assembled
+    (reference stage1/GResBlock.py:90-167). SN critics pair with the SN+CBN
+    generator."""
+    kw.setdefault("trunk", "gres64")
+    kw.setdefault("n_channels", 3)
+    kw.setdefault("video_disc_ksize", 4)
+    kw.setdefault("image_disc", "sn")
+    kw.setdefault("video_disc", "sn")
+    kw.setdefault("loss", "hinge")     # the DVD-GAN/SN-GAN pairing
+    kw.setdefault("dataset", "ucf101")
+    kw.setdefault("data_path", "data/ucf101-pack")
+    return ExperimentConfig(name="ucf_gres", variant="ode", **kw)
+
+
+def ucf_odegres(**kw) -> ExperimentConfig:
+    """Continuous-depth trunk: gres64 with each block an ODE flow in channel-
+    augmented space (reference stage1/stage_1_ODE_block.ipynb cells 6-9)."""
+    kw.setdefault("trunk", "odegres64")
+    return dataclasses.replace(ucf_gres(**kw), name="ucf_odegres")
+
+
 def ucf_wgan_gp_128(**kw) -> ExperimentConfig:
     """North-star new config: WGAN-GP at 128x128 / 32 frames — the stabilized
     version of the variant the reference could not train (BASELINE.md)."""
@@ -143,6 +177,8 @@ CONFIGS = {
     "mnist_ode_wgan": mnist_ode_wgan,
     "mnist_ode_noise": mnist_ode_noise,
     "ucf_ode": ucf_ode,
+    "ucf_gres": ucf_gres,
+    "ucf_odegres": ucf_odegres,
     "ucf_wgan_gp_128": ucf_wgan_gp_128,
 }
 

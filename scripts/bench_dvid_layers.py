@@ -63,7 +63,6 @@ def main():
         x = jnp.asarray(rng.uniform(-1, 1, (B, T, S, S, ci)), dtype)
         w = jnp.asarray(rng.normal(0, 0.02, (4, 4, 4, ci, co)), dtype)
         t_o = T - 3
-        s_o = S if last else S // 2
         s_o = S - 3 if last else S // 2
         flops = 2 * B * t_o * s_o * s_o * co * ci * 64  # fwd MACs*2
 

@@ -25,26 +25,43 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def synthetic_moving_shapes(n_videos, T, size=64, seed=0):
     """Color videos of a bright square translating along a random line — the
-    learnable-structure stand-in for UCF101 clips (no egress in this env)."""
+    learnable-structure stand-in for UCF101 clips (no egress in this env).
+
+    Returns (videos, labels): each clip's generative factors double as its
+    class label so the FVD embedder / IS classifier can be TRAINED on this set
+    (VERDICT r2: a randomly-initialized embedder makes FVD vacuous).
+    label = direction_octant * 8 + color_octant, where direction_octant bins
+    the (dx, dy) motion vector into 8 compass directions (video-visible) and
+    color_octant thresholds each RGB channel at 0.6 (frame-visible — the IS
+    classifier trains on labels % 8).
+    """
     import numpy as np
 
     rng = np.random.RandomState(seed)
+    side = 12 if size <= 64 else 24
     videos = np.full((n_videos, T, size, size, 3), -1.0, np.float32)
+    labels = np.zeros(n_videos, np.int64)
     for i in range(n_videos):
         color = rng.uniform(0.2, 1.0, 3)
-        x0, y0 = rng.randint(4, size - 16, 2)
-        dx, dy = rng.randint(-2, 3, 2)
+        x0, y0 = rng.randint(4, size - side - 4, 2)
+        dx, dy = 0, 0
+        while dx == 0 and dy == 0:
+            dx, dy = rng.randint(-2, 3, 2)
         for t in range(T):
-            x = int(np.clip(x0 + dx * t, 0, size - 12))
-            y = int(np.clip(y0 + dy * t, 0, size - 12))
-            videos[i, t, y:y + 12, x:x + 12, :] = color
-    return videos
+            x = int(np.clip(x0 + dx * t, 0, size - side))
+            y = int(np.clip(y0 + dy * t, 0, size - side))
+            videos[i, t, y:y + side, x:x + side, :] = color
+        octant = int(np.round(np.arctan2(dy, dx) / (np.pi / 4))) % 8
+        color_bucket = int((color > 0.6) @ np.array([4, 2, 1]))
+        labels[i] = octant * 8 + color_bucket
+    return videos, labels
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="mnist_ode",
-                   choices=["mnist_ode", "ucf_ode", "ucf_wgan_gp_128"])
+                   choices=["mnist_ode", "ucf_ode", "ucf_gres", "ucf_odegres",
+                            "ucf_wgan_gp_128"])
     p.add_argument("--data", default=None,
                    help="rotated-digit .npz (rotmnist configs only); synthetic "
                         "data is used when absent")
@@ -117,8 +134,8 @@ def main():
         videos_np = videos_np * 2.0 - 1.0  # [-1,1] so reals match tanh fakes
     elif config.dataset == "ucf101":
         size = 128 if config.trunk == "dcgan128" else 64
-        videos_np = synthetic_moving_shapes(args.n_videos, config.video_length,
-                                            size=size)
+        videos_np, labels_np = synthetic_moving_shapes(
+            args.n_videos, config.video_length, size=size)
     else:
         videos_np, _ = synthetic_rotmnist(config, n_videos=args.n_videos)
         videos_np = videos_np * 2.0 - 1.0  # [-1,1] so reals match tanh fakes
@@ -132,18 +149,24 @@ def main():
     cls_apply = None
     if labels_np is not None:
         # persisted once-trained feature models (same assets evaluate.py uses)
-        # so IS/FVD are comparable across runs and rounds
-        n_classes = int(labels_np.max()) + 1
+        # so IS/FVD are comparable across runs and rounds. For the synthetic
+        # moving-shapes set the IS classifier trains on the frame-visible
+        # factor only (color octant = label % 8 — motion direction is not
+        # decodable from one frame); the FVD embedder trains on the full
+        # direction x color label.
+        cls_labels = labels_np % 8 if config.dataset == "ucf101" else labels_np
+        n_cls = int(cls_labels.max()) + 1
+        n_emb = int(labels_np.max()) + 1
         assets = os.path.join("eval_assets", config.dataset)
-        cls_path = os.path.join(assets, f"classifier_c{n_classes}.msgpack")
-        emb_path = os.path.join(assets, f"embedder_c{n_classes}.msgpack")
+        cls_path = os.path.join(assets, f"classifier_c{n_cls}.msgpack")
+        emb_path = os.path.join(assets, f"embedder_c{n_emb}.msgpack")
         rng = np.random.RandomState(3)
         frame_ix = rng.randint(0, videos_np.shape[1], len(videos_np))
         real_frames = videos_np[np.arange(len(videos_np)), frame_ix]
 
         print(f"feature models: {assets} (training if absent)", flush=True)
         cls, cls_params, acc = train_classifier(
-            real_frames, labels_np, n_classes=n_classes,
+            real_frames, cls_labels, n_classes=n_cls,
             steps=0 if os.path.exists(cls_path) else args.asset_steps)
         if os.path.exists(cls_path):
             cls_params = load_params(cls_path, cls_params)
@@ -155,7 +178,7 @@ def main():
 
         print("classifier ready; fitting video embedder...", flush=True)
         embedder, emb_params, emb_acc = train_video_embedder(
-            videos_np[:512], labels_np[:512], n_classes=n_classes,
+            videos_np[:512], labels_np[:512], n_classes=n_emb,
             steps=0 if os.path.exists(emb_path) else args.asset_steps)
         if os.path.exists(emb_path):
             emb_params = load_params(emb_path, emb_params)
@@ -189,7 +212,12 @@ def main():
                    "fvd": round(value, 4),
                    "elapsed_s": round(time.time() - t0, 1)}
             if cls_apply is not None:
-                probs = np.asarray(cls_apply(jnp.asarray(fakes[:, 0])))
+                # random frame per video (matches the real-frame draw and the
+                # reference's image path; frame 0 biases toward warm-up state)
+                fix = np.random.RandomState(i).randint(
+                    0, fakes.shape[1], len(fakes))
+                probs = np.asarray(cls_apply(
+                    jnp.asarray(fakes[np.arange(len(fakes)), fix])))
                 is_mean, is_std = inception_score(probs)
                 rec["is_mean"] = round(is_mean, 4)
                 rec["is_std"] = round(is_std, 4)

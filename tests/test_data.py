@@ -401,6 +401,46 @@ class TestVideoDecodePack:
         assert ds.meta["source_fps"] == [25.0, 50.0]
 
 
+class TestVideoInfo:
+    """pts + (video, audio, info) surface of the reference's vendored reader
+    (reference dataset/video/video_utils.py:117-210). Audio is an explicit
+    scope cut (no audio backend in this environment) — see PARITY.md #18."""
+
+    @pytest.fixture()
+    def avi(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        path = str(tmp_path / "v.avi")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 25,
+                            (64, 48))
+        rng = np.random.RandomState(0)
+        for _ in range(20):
+            w.write(rng.randint(0, 255, (48, 64, 3), dtype=np.uint8))
+        w.release()
+        return path
+
+    def test_timestamps(self, avi):
+        from ganode_tpu.data import read_video_timestamps
+
+        pts, fps = read_video_timestamps(avi)
+        assert fps == 25.0
+        assert pts.shape == (20,)
+        assert pts[0] == 0.0
+        # CFR at 25 fps: pts advance by 40 ms, monotonically
+        assert np.all(np.diff(pts) > 0)
+        np.testing.assert_allclose(np.diff(pts), 0.04, atol=1e-3)
+
+    def test_read_video_with_info(self, avi):
+        from ganode_tpu.data import read_video_with_info
+
+        video, audio, info = read_video_with_info(avi, start=2, end=11)
+        assert video.shape == (10, 48, 64, 3) and video.dtype == np.uint8
+        assert audio.shape == (0, 0)            # documented scope cut
+        assert info["audio_fps"] is None
+        assert info["video_fps"] == 25.0
+        assert info["pts"].shape == (10,)
+        np.testing.assert_allclose(info["pts"][0], 2 * 0.04, atol=1e-3)
+
+
 class TestFrameFolder:
     @pytest.fixture()
     def frame_tree(self, tmp_path):

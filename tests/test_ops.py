@@ -198,6 +198,28 @@ class TestConv3DFoldedGrad:
         np.testing.assert_allclose(gx, gx_ref, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(gw, gw_ref, rtol=1e-5, atol=1e-5)
 
+    def test_odd_and_nonsquare_spatial_fall_back_correctly(self):
+        """ADVICE r2: the folded reconstruction is exact only for even H/W.
+        Odd or non-square inputs must still produce correct values AND
+        gradients (odd dispatches to the native path; even non-square uses the
+        per-axis slice)."""
+        from ganode_tpu.ops import conv3d_first, conv3d_s122
+
+        def loss(f, x, w):
+            return jnp.sum(jnp.square(f(x, w)))
+
+        k = jax.random.PRNGKey(4)
+        for (H, W) in ((31, 31), (32, 30), (33, 32)):
+            k, k1, k2 = jax.random.split(k, 3)
+            x = jax.random.normal(k1, (2, 8, H, W, 3))
+            w = jax.random.normal(k2, (4, 4, 4, 3, 8)) * 0.1
+            np.testing.assert_array_equal(conv3d_first(x, w),
+                                          conv3d_s122(x, w))
+            gx_ref, gw_ref = jax.grad(loss, argnums=(1, 2))(conv3d_s122, x, w)
+            gx, gw = jax.grad(loss, argnums=(1, 2))(conv3d_first, x, w)
+            np.testing.assert_allclose(gx, gx_ref, rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(gw, gw_ref, rtol=1e-5, atol=1e-5)
+
     def test_double_backward_for_gradient_penalty(self):
         """The WGAN-GP penalty is grad-of-grad through the conv — the
         custom_vjp's backward must itself be differentiable."""

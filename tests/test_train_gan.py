@@ -97,6 +97,43 @@ class TestTrainStep:
                         jax.tree.leaves(restored.ema_params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_ema_checkpoint_restores_through_no_ema_template(self, tmp_path):
+        """ADVICE r2 (medium): evaluate.py/generate.py build their restore
+        template from named configs whose ema_decay defaults to 0, so the
+        template has ema_params=None while an --ema-trained checkpoint carries
+        the subtree. CheckpointManager.restore reconciles the template against
+        the checkpoint's metadata, so the cross-config restore works in BOTH
+        directions."""
+        from ganode_tpu.utils.checkpoint import CheckpointManager
+
+        trainer = _tiny_trainer(d_iters=1, ema_decay=0.9)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        images, videos = _fake_batches(jax.random.PRNGKey(1), d_iters=1)
+        state, _ = trainer.train_step(state, images, videos,
+                                      jax.random.PRNGKey(2))
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(1, state, wait=True)
+
+        # evaluate.py's path: template from the default (no-EMA) config
+        plain = _tiny_trainer(d_iters=1)
+        restored = mgr.restore(plain.init_state(jax.random.PRNGKey(9)))
+        assert restored.ema_params is not None
+        for a, b in zip(jax.tree.leaves(state.ema_params),
+                        jax.tree.leaves(restored.ema_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # eval_gen_variables on the restored state serves the EMA weights
+        assert plain.eval_gen_variables(restored)["params"] \
+            is restored.ema_params
+        mgr.close()
+
+        # reverse: no-EMA checkpoint read through an EMA-expecting template
+        plain_state = plain.init_state(jax.random.PRNGKey(3))
+        mgr2 = CheckpointManager(str(tmp_path / "ckpt2"))
+        mgr2.save(1, plain_state, wait=True)
+        restored2 = mgr2.restore(trainer.init_state(jax.random.PRNGKey(9)))
+        assert restored2.ema_params is None
+        mgr2.close()
+
     def test_one_step_updates_everything(self):
         trainer = _tiny_trainer()
         state = trainer.init_state(jax.random.PRNGKey(0))
