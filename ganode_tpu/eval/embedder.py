@@ -127,8 +127,16 @@ def train_video_embedder(videos: np.ndarray, labels: np.ndarray, *,
         idx = jax.random.randint(jax.random.fold_in(key, i), (batch_size,), 0, n)
         params, opt_state, _ = step(params, opt_state, videos[idx], labels[idx])
 
-    logits = model.apply({"params": params}, videos[:256])
-    acc = float(jnp.mean(jnp.argmax(logits, -1) == labels[:256]))
+    # batched accuracy eval: one 256-video forward at 128x128x32 is ~13 GB of
+    # input alone and OOMs a single chip; the batched version peaks at the
+    # training step's footprint
+    n_eval = min(256, n)
+    apply = jax.jit(lambda v: jnp.argmax(model.apply({"params": params}, v), -1))
+    hits = 0
+    for i in range(0, n_eval, batch_size):
+        pred = apply(videos[i:i + batch_size])
+        hits += int(jnp.sum(pred == labels[i:i + batch_size]))
+    acc = hits / n_eval
     return (VideoEmbedder(feature_dim=feature_dim), params["embedder"], acc)
 
 

@@ -158,8 +158,11 @@ def main():
         n_cls = int(cls_labels.max()) + 1
         n_emb = int(labels_np.max()) + 1
         assets = os.path.join("eval_assets", config.dataset)
-        cls_path = os.path.join(assets, f"classifier_c{n_cls}.msgpack")
-        emb_path = os.path.join(assets, f"embedder_c{n_emb}.msgpack")
+        # feature-model params are input-size dependent (Dense after flatten),
+        # so ucf101 assets carry the frame size (128 vs 64 configs coexist)
+        sz = f"_s{videos_np.shape[2]}" if config.dataset == "ucf101" else ""
+        cls_path = os.path.join(assets, f"classifier_c{n_cls}{sz}.msgpack")
+        emb_path = os.path.join(assets, f"embedder_c{n_emb}{sz}.msgpack")
         rng = np.random.RandomState(3)
         frame_ix = rng.randint(0, videos_np.shape[1], len(videos_np))
         real_frames = videos_np[np.arange(len(videos_np)), frame_ix]
@@ -188,7 +191,10 @@ def main():
     else:
         embedder = VideoEmbedder(feature_dim=64)
         emb_params = embedder.init(jax.random.PRNGKey(7), videos[:1])["params"]
-    feats_real = embed_videos(embedder, emb_params, videos_np[:256], 64)
+    # embedding batch sized to the clip footprint (64 videos of 128x128x32 are
+    # ~3.2 GB of input; halve alongside the HBM-resident dataset)
+    emb_bs = 32 if videos_np[0].nbytes > 2**24 else 64
+    feats_real = embed_videos(embedder, emb_params, videos_np[:256], emb_bs)
 
     def sample_fakes(state, n, seed):
         variables = trainer.eval_gen_variables(state)
@@ -207,7 +213,8 @@ def main():
         if i % args.eval_every == 0 or i == args.steps - 1:
             m = {k: float(v) for k, v in metrics.items()}  # host sync
             fakes = sample_fakes(state, 256, 10_000 + i)
-            value = fvd(feats_real, embed_videos(embedder, emb_params, fakes, 64))
+            value = fvd(feats_real,
+                        embed_videos(embedder, emb_params, fakes, emb_bs))
             rec = {"step": i, **{k: round(v, 4) for k, v in m.items()},
                    "fvd": round(value, 4),
                    "elapsed_s": round(time.time() - t0, 1)}
@@ -247,7 +254,11 @@ def main():
         "all_losses_finite": all(np.isfinite(v) for v in losses),
         "fvd_first": history[0]["fvd"],
         "fvd_last": history[-1]["fvd"],
+        "fvd_best": min(r["fvd"] for r in history),
+        "fvd_best_step": min(history, key=lambda r: r["fvd"])["step"],
     }
+    if "is_mean" in history[0]:
+        summary["is_best"] = max(r["is_mean"] for r in history)
     if args.data is not None:
         summary["data"] = args.data
     if "is_mean" in history[0]:

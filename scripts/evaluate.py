@@ -112,8 +112,11 @@ def main():
 
     assets = os.path.join(args.assets_dir, config.dataset)
     n_classes = int(real_labels.max()) + 1
-    cls_path = os.path.join(assets, f"classifier_c{n_classes}.msgpack")
-    emb_path = os.path.join(assets, f"embedder_c{n_classes}.msgpack")
+    # ucf101 feature-model params depend on frame size (Dense after flatten):
+    # encode it so 64px and 128px configs keep separate persisted assets
+    sz = f"_s{real_frames.shape[1]}" if config.dataset == "ucf101" else ""
+    cls_path = os.path.join(assets, f"classifier_c{n_classes}{sz}.msgpack")
+    emb_path = os.path.join(assets, f"embedder_c{n_classes}{sz}.msgpack")
 
     model, cls_params, acc = train_classifier(
         real_frames, real_labels, n_classes=n_classes,
