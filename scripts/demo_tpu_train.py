@@ -208,9 +208,18 @@ def main():
 
     history = []
     t0 = time.time()
+    stop_file = os.path.join(args.workdir, "STOP")
+    stopped_early = False
     for i in range(args.steps):
         state, metrics = step(state, videos, jax.random.fold_in(key, i))
-        if i % args.eval_every == 0 or i == args.steps - 1:
+        # graceful early stop: `touch <workdir>/STOP` ends the run at the next
+        # eval boundary WITH summary + checkpoint intact — killing a TPU
+        # process mid-run wedges the chip for ~30-45 min (CLAUDE.md), so long
+        # runs must be stoppable without SIGKILL
+        if i % 50 == 0 and os.path.exists(stop_file):
+            stopped_early = True
+        if (i % args.eval_every == 0 or i == args.steps - 1
+                or (stopped_early and i % 50 == 0)):
             m = {k: float(v) for k, v in metrics.items()}  # host sync
             fakes = sample_fakes(state, 256, 10_000 + i)
             value = fvd(feats_real,
@@ -233,6 +242,10 @@ def main():
             save_sample_grid(
                 os.path.join(args.workdir, f"samples_{i:05d}.gif"),
                 fakes[:16], n=4)
+        if stopped_early:
+            print(f"STOP file found — ending at step {i} with artifacts "
+                  "intact", flush=True)
+            break
 
     if args.save_checkpoint:
         from ganode_tpu.utils.checkpoint import CheckpointManager
@@ -246,7 +259,8 @@ def main():
     summary = {
         "config": config.name,
         "batch_size": config.batch_size,
-        "steps": args.steps,
+        "steps": history[-1]["step"] + 1,   # actual (STOP may end a run early)
+        "steps_requested": args.steps,
         "backend": jax.default_backend(),
         "precision": config.compute_dtype,
         "history": history,
