@@ -76,6 +76,15 @@ class GANTrainer:
     # EMA of generator params (0 = off). Sampling helpers prefer the EMA
     # weights in eval mode; the raw params keep training unchanged.
     ema_decay: float = 0.0
+    # Run real and fake through ONE concatenated discriminator pass (batch 2B)
+    # instead of two B-sized passes. Doubles the GEMM batch of every D conv —
+    # a measured TPU throughput win at the parity batch — at a documented
+    # semantic delta from the reference: train-mode BatchNorm statistics are
+    # computed over the combined real+fake batch (the reference normalizes
+    # real and fake separately, reference mnist_moco_ode.py:117-131), and
+    # spectral-norm power iteration advances once per loss instead of twice.
+    # Default False = reference semantics.
+    fused_real_fake: bool = False
 
     def __post_init__(self):
         if self.loss not in LOSSES:
@@ -171,9 +180,16 @@ class GANTrainer:
         k_noise_r, k_noise_f, k_gp, k_gp_noise, k_pnoise = jax.random.split(key, 5)
 
         def loss_fn(params):
-            pr, ex1 = self._d_forward(mod, params, self._extras_of(d_state),
-                                      real, k_noise_r)
-            pf, ex2 = self._d_forward(mod, params, ex1, fake, k_noise_f)
+            if self.fused_real_fake:
+                both, ex2 = self._d_forward(
+                    mod, params, self._extras_of(d_state),
+                    jnp.concatenate([real, fake], axis=0), k_noise_r)
+                pr, pf = both[:real.shape[0]], both[real.shape[0]:]
+            else:
+                pr, ex1 = self._d_forward(mod, params,
+                                          self._extras_of(d_state),
+                                          real, k_noise_r)
+                pf, ex2 = self._d_forward(mod, params, ex1, fake, k_noise_f)
             loss = self.d_loss_fn(pr, pf)
             if self.gp_weight > 0:
                 # the 'noise' rng must be supplied even in eval-style applies:

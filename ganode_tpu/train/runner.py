@@ -85,6 +85,7 @@ def build_trainer(config: ExperimentConfig) -> GANTrainer:
         param_noise_sigma=config.param_noise_sigma,
         gp_weight=config.gp_weight,
         ema_decay=config.ema_decay,
+        fused_real_fake=config.fused_real_fake,
     )
 
 

@@ -57,6 +57,10 @@ class ExperimentConfig:
     # EMA of generator params for eval-mode sampling (0 = off; 0.999 is a
     # good default when enabled). Beyond-reference stabilizer.
     ema_decay: float = 0.0
+    # One concatenated real+fake D pass (batch 2B) instead of two B passes:
+    # measured TPU throughput option; BN stats then span the combined batch
+    # (reference semantics = False; see GANTrainer.fused_real_fake).
+    fused_real_fake: bool = False
     # data
     dataset: str = "rotmnist"         # rotmnist | ucf101
     data_path: str = "data/rot-mnist.npz"

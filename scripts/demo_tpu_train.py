@@ -258,6 +258,7 @@ def main():
               for k in ("dis_img_loss", "dis_vid_loss", "gen_loss")]
     summary = {
         "config": config.name,
+        "trunk": config.trunk,
         "batch_size": config.batch_size,
         "steps": history[-1]["step"] + 1,   # actual (STOP may end a run early)
         "steps_requested": args.steps,
@@ -271,6 +272,16 @@ def main():
         "fvd_best": min(r["fvd"] for r in history),
         "fvd_best_step": min(history, key=lambda r: r["fvd"])["step"],
     }
+    if config.trunk == "odegres64":
+        # the continuous-depth trunk's solver cost is static under the fixed-
+        # grid stepper: stages(method) * num_steps per block, 4 blocks, once
+        # per frame batch (reference notebook tracked this as the nfe counter,
+        # stage_1_ODE_block.ipynb cell 7)
+        from ganode_tpu.models.mocogan import GResTrunk64
+        from ganode_tpu.ode import tableaus as _tb
+        per_block = _tb.FIXED_GRID["rk4"].stages * GResTrunk64.ode_steps
+        summary["trunk_ode_nfe_per_block"] = per_block
+        summary["trunk_ode_nfe_per_forward"] = per_block * 4
     if "is_mean" in history[0]:
         summary["is_best"] = max(r["is_mean"] for r in history)
     if args.data is not None:

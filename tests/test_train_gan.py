@@ -200,6 +200,38 @@ class TestTrainStep:
                                                 jax.random.PRNGKey(2))
         assert np.isfinite(float(metrics["dis_vid_loss"]))
 
+    def test_fused_real_fake_step(self):
+        """fused_real_fake=True: one concatenated 2B discriminator pass.
+        Same update structure, finite losses, parameters actually move; BN
+        statistics advance (over the combined batch — the documented delta
+        from the reference's separate real/fake passes)."""
+        trainer = _tiny_trainer(d_iters=1, fused_real_fake=True)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        images, videos = _fake_batches(jax.random.PRNGKey(1), d_iters=1)
+        new_state, metrics = trainer.train_step(state, images, videos,
+                                                jax.random.PRNGKey(2))
+        for v in metrics.values():
+            assert np.isfinite(float(v))
+        moved = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            state.dis_vid.params, new_state.dis_vid.params)
+        assert max(jax.tree.leaves(moved)) > 0
+        stats_moved = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            state.dis_vid.batch_stats, new_state.dis_vid.batch_stats)
+        assert max(jax.tree.leaves(stats_moved)) > 0
+
+    def test_fused_real_fake_with_gp(self):
+        """The WGAN-GP path composes with the fused pass (the penalty's
+        eval-mode apply is untouched by the fusion)."""
+        trainer = _tiny_trainer(loss="wasserstein", gp_weight=10.0,
+                                d_iters=1, fused_real_fake=True)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        images, videos = _fake_batches(jax.random.PRNGKey(1), d_iters=1)
+        _, metrics = trainer.train_step(state, images, videos,
+                                        jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["dis_vid_loss"]))
+
     def test_unknown_loss_rejected(self):
         with pytest.raises(ValueError):
             _tiny_trainer(loss="nonsense")
