@@ -273,8 +273,12 @@ def main():
     # The headline stays at the reference's batch 32 for parity; this line
     # reports the single-chip peak when the batch is free to grow (bigger
     # GEMMs -> higher MXU utilization). Skipped off-TPU to keep CI fast.
-    if on_tpu and compile_s < 300:  # skip when the tunnel is cold/erratic to
-        try:                        # keep total bench wall time bounded
+    # r2 skipped this at compile_s 674 and the B=128 evidence went missing
+    # from the artifact (VERDICT r2 weak #5); a cold tunnel costs ~10 extra
+    # minutes here, which is worth the secondary bench point — only a truly
+    # wedged tunnel (>25 min compile) skips now.
+    if on_tpu and compile_s < 1500:
+        try:
             B2 = 128
             tr2 = GANTrainer(
                 gen=gen, dis_img=PatchImageDiscriminator(dtype=dtype),

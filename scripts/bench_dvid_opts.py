@@ -13,6 +13,13 @@ Two independent levers against the d_vid_fwd_bwd bottleneck (BENCH_r02:
    L1/L2/L3 shapes of the ksize-4 VideoDiscriminator to decide whether the
    fold also wins where C_in is already lane-dense.
 
+Timing discipline (axon tunnel: block_until_ready is a no-op): the measured
+function is chained through a lax.scan whose carry perturbs the next input,
+so K executions serialize on-device; wall time comes from a two-point slope
+so fixed per-call session costs cancel. The timed scalar SUMS THE GRADIENTS
+into the result — without that, XLA dead-code-eliminates the whole backward
+pass and the numbers are garbage (measured: "-102 ms").
+
 Prints one JSON object. Run on a quiet TPU (one process at a time).
 """
 import json
@@ -27,25 +34,37 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def slope_time(f, *args, n1=3, n2=10):
-    """Two-point-slope wall time of jitted f (axon: only data transfers sync)."""
-    jf = jax.jit(f)
-    float(jf(*args))
+def slope_time(fn_scalar, x, K=8, n1=2, n2=6):
+    """Wall seconds per call of fn_scalar(x)->f32 scalar, serialized K deep."""
+
+    def run_k(x, s0):
+        def body(acc, _):
+            return fn_scalar(x + acc.astype(x.dtype) * 1e-9) * 1e-9, None
+        out, _ = jax.lax.scan(body, s0, None, length=K)
+        return out
+
+    f = jax.jit(run_k)
+    float(f(x, jnp.float32(0)))  # compile + warm
 
     def run(n):
         acc = jnp.float32(0)
-        for i in range(n):
-            acc = acc + jf(*args) * 1e-9
+        for _ in range(n):
+            acc = f(x, acc)
         return float(acc)
 
     t0 = time.time(); run(n1); ta = time.time() - t0
     t0 = time.time(); run(n2); tb = time.time() - t0
-    return (tb - ta) / (n2 - n1)
+    return (tb - ta) / (n2 - n1) / K
+
+
+def _grad_anchor(loss, grads):
+    """Scalar that depends on every gradient leaf (defeats DCE of the bwd)."""
+    return loss + 1e-12 * sum(jnp.sum(g.astype(jnp.float32))
+                              for g in jax.tree.leaves(grads))
 
 
 def bench_fused_pass(out):
     from ganode_tpu.models import VideoDiscriminator
-    from ganode_tpu.train.gan import GANTrainer
     from ganode_tpu.train.losses import LOSSES
 
     B, T, S = 32, 16, 64
@@ -57,22 +76,24 @@ def bench_fused_pass(out):
     params, stats = variables["params"], variables["batch_stats"]
     d_loss_fn, _ = LOSSES["bce"]
 
-    def loss_two(params, real, fake):
+    def loss_two(params, real):
         (pr, _), mut = mod.apply({"params": params, "batch_stats": stats},
                                  real, mutable=["batch_stats"])
-        (pf, _), mut = mod.apply({"params": params, **mut},
-                                 fake, mutable=["batch_stats"])
+        (pf, _), _ = mod.apply({"params": params, **mut},
+                               fake, mutable=["batch_stats"])
         return d_loss_fn(pr, pf)
 
-    def loss_fused(params, real, fake):
-        (p, _), mut = mod.apply(
+    def loss_fused(params, real):
+        (p, _), _ = mod.apply(
             {"params": params, "batch_stats": stats},
             jnp.concatenate([real, fake], axis=0), mutable=["batch_stats"])
         return d_loss_fn(p[:B], p[B:])
 
     for name, fn in (("two_pass", loss_two), ("fused", loss_fused)):
-        g = lambda p, r, f, fn=fn: jax.value_and_grad(fn)(p, r, f)[0]
-        ms = slope_time(g, params, real, fake) * 1e3
+        def scalar(r, fn=fn):
+            loss, grads = jax.value_and_grad(fn)(params, r)
+            return _grad_anchor(loss, grads)
+        ms = slope_time(scalar, real) * 1e3
         out[f"d_update_{name}_ms"] = round(ms, 3)
     out["d_update_fused_speedup"] = round(
         out["d_update_two_pass_ms"] / out["d_update_fused_ms"], 3)
@@ -93,22 +114,23 @@ def bench_mid_gx(out):
         y = conv3d_s122(x, w)
         dy = jnp.asarray(rng.normal(0, 1, y.shape), dtype)
 
-        def gx_native(dy, x=x, w=w):
+        def dx_native(dy):
             _, vjp = jax.vjp(lambda a: conv3d_s122(a, w), x)
             (dx,) = vjp(dy)
-            return jnp.sum(dx.astype(jnp.float32))
+            return dx
 
-        def gx_tfold(dy, x=x, w=w):
-            dx = conv3d_s122_dx_tfold(dy, w, x.shape[1], x.shape[2],
-                                      x.shape[3])
-            return jnp.sum(dx.astype(jnp.float32))
+        def dx_tfold(dy):
+            return conv3d_s122_dx_tfold(dy, w, x.shape[1], x.shape[2],
+                                        x.shape[3])
 
-        # equality first (bf16 sums: loose tolerance)
-        a = float(jax.jit(gx_native)(dy))
-        b = float(jax.jit(gx_tfold)(dy))
-        out[f"L{li}_gx_equal"] = bool(abs(a - b) <= 1e-2 * max(1.0, abs(a)))
-        for name, fn in (("native", gx_native), ("tfold", gx_tfold)):
-            ms = slope_time(fn, dy) * 1e3
+        # elementwise equality in f32 (a summed check cancels to noise)
+        a = np.asarray(jax.jit(dx_native)(dy), np.float32)
+        b = np.asarray(jax.jit(dx_tfold)(dy), np.float32)
+        rel = float(np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-12))
+        out[f"L{li}_gx_max_rel_err"] = round(rel, 5)
+        for name, fn in (("native", dx_native), ("tfold", dx_tfold)):
+            scalar = lambda d, fn=fn: jnp.sum(fn(d).astype(jnp.float32))
+            ms = slope_time(scalar, dy) * 1e3
             out[f"L{li}_gx_{name}_ms"] = round(ms, 3)
         out[f"L{li}_tfold_speedup"] = round(
             out[f"L{li}_gx_native_ms"] / out[f"L{li}_gx_tfold_ms"], 3)
