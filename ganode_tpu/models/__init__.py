@@ -15,6 +15,7 @@ from .motion import (
     MOTION_SAMPLERS,
     MotionCDE,
     MotionGRU,
+    MotionMoEODE,
     MotionODE,
     MotionODERNN,
     MotionSDE,
@@ -38,7 +39,8 @@ def make_generator(
     """Build the generator for a README variant.
 
     variant: gru | ode | sde | cde | ode_rnn — mirrors the per-file subclasses of
-    the reference (models/mocogan{,_ode,_sde,_cde,_ode_rnn}.py) as one ctor.
+    the reference (models/mocogan{,_ode,_sde,_cde,_ode_rnn}.py) as one ctor —
+    plus moe_ode (mixture-of-experts ODE field, expert-parallel; new capability).
     """
     import jax.numpy as jnp
 
@@ -64,6 +66,7 @@ __all__ = [
     "MOTION_SAMPLERS",
     "MotionCDE",
     "MotionGRU",
+    "MotionMoEODE",
     "MotionODE",
     "MotionODERNN",
     "MotionSDE",

@@ -216,6 +216,57 @@ class MotionCDE(nn.Module):
         return jnp.transpose(zs, (1, 0, 2))
 
 
+class MotionMoEODE(nn.Module):
+    """Mixture-of-experts Neural-ODE motion — new capability (no reference
+    counterpart; SURVEY.md §2.2 records the reference has no MoE anywhere) and
+    the expert-parallel object: the RHS is a smooth gated mixture of
+    ``n_experts`` tanh-MLP fields (nn/moe.py), whose stacked parameters shard
+    over an 'expert' mesh axis via ``parallel.shard_params_ep``.
+
+    Same solve contract as MotionODE: x ~ N(0,I) -> warm-up MLP ->
+    odeint(f, x, linspace(0,1,T)).
+    """
+
+    dim: int
+    dim_hidden: int | None = None
+    n_experts: int = 4
+    top_k: int = 0               # 0 = dense softmax mixture (smooth field)
+    use_warmup: bool = True
+    method: str = "rk4"
+    steps_per_interval: int = 1
+    adjoint: str = "checkpoint"  # 'checkpoint' | 'backsolve'
+    rtol: float = 1e-5
+    atol: float = 1e-6
+
+    @nn.compact
+    def __call__(self, n: int, video_len: int, *, train: bool = True):
+        from ..nn.moe import MoEField
+
+        h = self.dim_hidden or self.dim
+        x = jax.random.normal(self.make_rng("sample"), (n, self.dim))
+        if self.use_warmup:
+            x = WarmupMLP(self.dim)(x)
+
+        field = MoEField(dim=self.dim, dim_hidden=h, n_experts=self.n_experts,
+                         top_k=self.top_k, name="moe_fn")
+        if self.is_initializing():
+            _ = field(x)
+
+        ts = jnp.linspace(0.0, 1.0, video_len)
+        params = {"field": _get_params(self, "moe_fn")}
+        rhs = lambda t, y, p: field.apply({"params": p["field"]}, y)
+        if self.method == "dopri5":
+            zs = ode.odeint_adaptive_adjoint(rhs, x, ts, params,
+                                             self.rtol, self.atol)
+        elif self.adjoint == "backsolve":
+            zs = ode.odeint_backsolve(rhs, x, ts, params, self.method,
+                                      self.steps_per_interval)
+        else:
+            zs = ode.odeint(rhs, x, ts, params, method=self.method,
+                            steps_per_interval=self.steps_per_interval)
+        return jnp.transpose(zs, (1, 0, 2))  # (n, T, dim)
+
+
 class MotionODERNN(nn.Module):
     """ODE-RNN motion: per frame, evolve the hidden state by one [0,1] ODE solve,
     then apply a GRU update with fresh noise (reference
@@ -267,6 +318,7 @@ MOTION_SAMPLERS: dict[str, Callable[..., nn.Module]] = {
     "sde": MotionSDE,
     "cde": MotionCDE,
     "ode_rnn": MotionODERNN,
+    "moe_ode": MotionMoEODE,
 }
 
 

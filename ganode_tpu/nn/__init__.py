@@ -3,6 +3,7 @@ from .layers import GRUCell, MLP, Noise, WarmupMLP, leaky_relu
 from .norm import ConditionalNorm
 from .spectral import SNConv, SNDense, spectral_normalize
 from .gresblock import Conv2dODEField, GResBlock, ODEGResBlock
+from .moe import MoEField
 
 __all__ = [
     "ConditionalNorm",
@@ -10,6 +11,7 @@ __all__ = [
     "GResBlock",
     "GRUCell",
     "MLP",
+    "MoEField",
     "Noise",
     "ODEGResBlock",
     "SNConv",

@@ -5,8 +5,10 @@ from .mesh import (
     replicate,
     shard_batch,
     shard_batch_seq,
+    shard_params_ep,
     shard_params_tp,
 )
+from .pipeline import pipeline_apply
 
 __all__ = [
     "data_sharding",
@@ -15,5 +17,7 @@ __all__ = [
     "replicate",
     "shard_batch",
     "shard_batch_seq",
+    "pipeline_apply",
+    "shard_params_ep",
     "shard_params_tp",
 ]

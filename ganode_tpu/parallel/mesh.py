@@ -103,6 +103,28 @@ def shard_params_tp(params, mesh: Mesh, *, axis: str = "model",
     return jax.tree.map(place, params)
 
 
+def shard_params_ep(params, mesh: Mesh, *, axis: str = "expert"):
+    """Expert-parallel placement: shard stacked expert parameters (leaves named
+    ``expert_*`` with a leading E axis — nn/moe.py's layout) over the mesh's
+    expert axis; replicate everything else. Apply to the optimizer state too —
+    EP's payoff is that each device holds only its experts' weights AND moments.
+
+    GSPMD then computes each expert's dispatch einsum on the device owning it
+    and reduces the gated combine with one psum over ``axis``.
+    """
+    size = mesh.shape[axis]
+
+    def place(path, x):
+        name = getattr(path[-1], "key", None) if path else None
+        if (isinstance(name, str) and name.startswith("expert_")
+                and np.ndim(x) >= 1 and x.shape[0] % size == 0):
+            spec = [axis] + [None] * (np.ndim(x) - 1)
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
 def make_parallel_step(trainer, mesh: Mesh, *, donate: bool = True):
     """jit the trainer's step for the mesh: state replicated, real batches sharded
     over 'data' (axis 1 — batches are (d_iters, B, ...)).

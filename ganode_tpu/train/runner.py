@@ -47,6 +47,9 @@ def build_trainer(config: ExperimentConfig) -> GANTrainer:
         motion_kwargs["method"] = config.motion_method
     if config.variant == "sde" and config.sde_dt is not None:
         motion_kwargs["dt"] = config.sde_dt
+    if config.variant == "moe_ode":
+        motion_kwargs["n_experts"] = config.moe_experts
+        motion_kwargs["top_k"] = config.moe_top_k
     gen = make_generator(
         config.variant,
         n_channels=config.n_channels,

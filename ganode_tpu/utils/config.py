@@ -16,7 +16,9 @@ from typing import Optional, Tuple
 class ExperimentConfig:
     name: str
     # model
-    variant: str = "ode"              # gru | ode | sde | cde | ode_rnn
+    # gru | ode | sde | cde | ode_rnn (reference variants) | moe_ode
+    # (mixture-of-experts ODE field — expert-parallel new capability)
+    variant: str = "ode"
     # Output trunk geometry: mnist28 | dcgan64 | dcgan128 (deconv stacks), or
     # the stage-1 DVD-GAN-class trunks the reference built blocks for but
     # never assembled — gres64 (SN+CBN GResBlocks) and odegres64 (continuous-
@@ -44,6 +46,10 @@ class ExperimentConfig:
     # SDE max internal step (reference models/mocogan_sde.py:59 dt=2.5e-2);
     # None keeps the default.
     sde_dt: Optional[float] = None
+    # moe_ode variant: expert count and routing (0 = dense softmax mixture,
+    # k>0 = sparse top-k — fixed-grid solvers only; see nn/moe.py)
+    moe_experts: int = 4
+    moe_top_k: int = 0
     # training (reference mnist_moco_ode.py:13-14,86-89,111)
     steps: int = 100_000
     batch_size: int = 32
@@ -99,6 +105,13 @@ def mnist_ode_rnn(**kw) -> ExperimentConfig:
 
 def mnist_gru(**kw) -> ExperimentConfig:
     return ExperimentConfig(name="mnist_gru", variant="gru", **kw)
+
+
+def mnist_moe_ode(**kw) -> ExperimentConfig:
+    """Mixture-of-experts ODE motion (new capability): the mnist_ode protocol
+    with the RHS a smooth gated mixture of 4 expert fields — the expert-
+    parallel configuration (parallel.shard_params_ep over an 'expert' axis)."""
+    return ExperimentConfig(name="mnist_moe_ode", variant="moe_ode", **kw)
 
 
 def mnist_ode_wgan(**kw) -> ExperimentConfig:
@@ -178,6 +191,7 @@ CONFIGS = {
     "mnist_cde": mnist_cde,
     "mnist_ode_rnn": mnist_ode_rnn,
     "mnist_gru": mnist_gru,
+    "mnist_moe_ode": mnist_moe_ode,
     "mnist_ode_wgan": mnist_ode_wgan,
     "mnist_ode_noise": mnist_ode_noise,
     "ucf_ode": ucf_ode,

@@ -474,6 +474,107 @@ class TestParallel:
         # small params replicated
         assert all(s is None for s in sharded["small"].sharding.spec)
 
+    def test_ep_step_matches_single_device(self):
+        """Expert parallelism: the moe_ode generator's stacked expert params
+        (and their Adam moments) sharded over an 'expert' mesh axis — the full
+        train step must match the single-device step (GSPMD computes each
+        expert's dispatch on its owner and psums the gated combine)."""
+        from ganode_tpu.models import (
+            PatchImageDiscriminator, VideoDiscriminator, make_generator)
+        from ganode_tpu.parallel import (
+            make_mesh, replicate, shard_batch, shard_params_ep)
+        from ganode_tpu.train import GANTrainer
+
+        T = 8
+        gen = make_generator("moe_ode", n_channels=1, trunk="mnist28",
+                             video_length=T, dim_z_content=4, dim_z_motion=4,
+                             ngf=8, n_experts=4)
+        tr = GANTrainer(gen=gen, dis_img=PatchImageDiscriminator(ndf=8),
+                        dis_vid=VideoDiscriminator(ksize=2, ndf=8),
+                        batch_size=8, d_iters=1)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        images = rng.uniform(-1, 1, (1, 8, 28, 28, 1)).astype(np.float32)
+        videos = rng.uniform(-1, 1, (1, 8, T, 28, 28, 1)).astype(np.float32)
+        key = jax.random.PRNGKey(1)
+
+        s1, m1 = jax.jit(tr.train_step)(state, images, videos, key)
+
+        mesh = make_mesh(8, ("data", "expert"), shape=(2, 4))
+        st = replicate(state, mesh)
+        st = st.replace(gen=st.gen.replace(
+            params=shard_params_ep(st.gen.params, mesh),
+            opt_state=shard_params_ep(st.gen.opt_state, mesh)))
+        # the stacked expert leaves are actually sharded over 'expert'
+        ep_leaf = st.gen.params["motion"]["moe_fn"]["expert_w1"]
+        assert ep_leaf.sharding.spec[0] == "expert"
+        im = shard_batch(images, mesh, batch_axis=1)
+        vi = shard_batch(videos, mesh, batch_axis=1)
+        s8, m8 = jax.jit(tr.train_step)(st, im, vi, key)
+
+        np.testing.assert_allclose(float(m1["gen_loss"]), float(m8["gen_loss"]),
+                                   rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(s1.gen.params),
+                        jax.tree.leaves(s8.gen.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+
+    def test_pp_pipeline_matches_sequential_and_grads(self):
+        """GPipe over heterogeneous toy stages: forward == sequential
+        composition and the gradient through the scan+ppermute schedule ==
+        the sequential gradient."""
+        from flax import linen as nn
+        from ganode_tpu.parallel import make_mesh, pipeline_apply
+
+        dims = [(7, 16), (16, 5), (5, 12), (12, 3)]
+        mods = [nn.Dense(o) for _, o in dims]
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (8, 7))
+        params, cur = [], x0
+        for m, (i, o) in zip(mods, dims):
+            v = m.init(jax.random.PRNGKey(i * o), cur)
+            params.append(v["params"])
+            cur = m.apply(v, cur)
+        fns = [lambda p, x, m=m: jnp.tanh(m.apply({"params": p}, x))
+               for m in mods]
+
+        def seq(ps, x):
+            for f, p in zip(fns, ps):
+                x = f(p, x)
+            return x
+
+        mesh = make_mesh(4, ("pipe",))
+        out = pipeline_apply(fns, params, x0, mesh, n_microbatches=4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(seq(params, x0)),
+                                   rtol=1e-5, atol=1e-6)
+
+        g_pipe = jax.grad(lambda ps: jnp.sum(
+            pipeline_apply(fns, ps, x0, mesh, n_microbatches=2) ** 2))(params)
+        g_seq = jax.grad(lambda ps: jnp.sum(seq(ps, x0) ** 2))(params)
+        for a, b in zip(jax.tree.leaves(g_pipe), jax.tree.leaves(g_seq)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_pp_trunk_matches_eval_forward(self):
+        """The pipelined generator trunk (DP x PP on a (2, 4) mesh) must decode
+        bit-compatibly with the sequential eval-mode sample_videos path."""
+        from ganode_tpu.models import make_generator
+        from ganode_tpu.models.pipeline import pipelined_sample_videos
+        from ganode_tpu.parallel import make_mesh
+
+        gen = make_generator("ode", n_channels=3, trunk="dcgan64",
+                             video_length=8, dim_z_content=10, dim_z_motion=8,
+                             ngf=8)
+        k = jax.random.PRNGKey(0)
+        vs = gen.init({"params": k, "sample": k}, 2)
+        sk = jax.random.PRNGKey(7)
+        ref, _ = gen.apply(vs, 4, train=False, method="sample_videos",
+                           rngs={"sample": sk})
+        mesh = make_mesh(8, ("data", "pipe"), shape=(2, 4))
+        out, _ = pipelined_sample_videos(gen, vs, 4, mesh, data_axis="data",
+                                         sample_key=sk, n_microbatches=4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
 
 class TestMotionSolverOptions:
     """sde/cde/ode_rnn solver options must be reachable from ExperimentConfig
@@ -495,6 +596,15 @@ class TestMotionSolverOptions:
                        ngf=8, ndf=8, batch_size=2)
         tr = build_trainer(c)
         assert tr.gen.motion.method == "euler"
+
+    def test_moe_options_forwarded(self):
+        from ganode_tpu.train.runner import build_trainer
+
+        c = get_config("mnist_moe_ode", moe_experts=8, moe_top_k=2,
+                       ngf=8, ndf=8, batch_size=2)
+        tr = build_trainer(c)
+        assert tr.gen.motion.n_experts == 8
+        assert tr.gen.motion.top_k == 2
 
     def test_none_keeps_variant_defaults(self):
         from ganode_tpu.train.runner import build_trainer

@@ -28,7 +28,8 @@ def _init_and_sample(gen, n, method, **kwargs):
     return out, variables
 
 
-@pytest.mark.parametrize("variant", ["gru", "ode", "sde", "cde", "ode_rnn"])
+@pytest.mark.parametrize("variant",
+                         ["gru", "ode", "sde", "cde", "ode_rnn", "moe_ode"])
 def test_generator_videos_mnist(variant):
     gen = make_generator(variant, n_channels=1, trunk="mnist28",
                          dim_z_content=50, dim_z_motion=16, video_length=T)

@@ -160,3 +160,53 @@ class TestODEGResBlock:
         leaves = jax.tree.leaves(g)
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
         assert any(float(jnp.linalg.norm(l)) > 0 for l in leaves)
+
+
+class TestMoEField:
+    """nn/moe.py — the expert-parallel ODE field (new capability; the
+    reference has no MoE anywhere, SURVEY.md §2.2)."""
+
+    def _setup(self, top_k=0):
+        from ganode_tpu.nn import MoEField
+        f = MoEField(dim=6, dim_hidden=10, n_experts=4, top_k=top_k)
+        y = jax.random.normal(jax.random.PRNGKey(1), (5, 6))
+        v = f.init(jax.random.PRNGKey(0), y)
+        return f, v, y
+
+    def test_dense_mixture_closed_form(self):
+        f, v, y = self._setup()
+        out = np.asarray(f.apply(v, y))
+        p = v["params"]
+        logits = np.asarray(y @ p["gate"]["kernel"] + p["gate"]["bias"])
+        g = np.exp(logits - logits.max(-1, keepdims=True))
+        g /= g.sum(-1, keepdims=True)
+        expected = np.zeros_like(out)
+        for e in range(4):
+            h = np.tanh(np.asarray(y) @ np.asarray(p["expert_w1"][e])
+                        + np.asarray(p["expert_b1"][e]))
+            o = h @ np.asarray(p["expert_w2"][e]) + np.asarray(p["expert_b2"][e])
+            expected += g[:, e:e + 1] * o
+        np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
+
+    def test_top1_routes_to_argmax_expert(self):
+        f0, v, y = self._setup()
+        f1, _, _ = self._setup(top_k=1)
+        out = np.asarray(f1.apply(v, y))
+        p = v["params"]
+        logits = np.asarray(y @ p["gate"]["kernel"] + p["gate"]["bias"])
+        am = logits.argmax(-1)
+        expected = np.stack([
+            np.tanh(np.asarray(y[i]) @ np.asarray(p["expert_w1"][am[i]])
+                    + np.asarray(p["expert_b1"][am[i]]))
+            @ np.asarray(p["expert_w2"][am[i]])
+            + np.asarray(p["expert_b2"][am[i]])
+            for i in range(y.shape[0])])
+        np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
+
+    def test_grads_flow_to_all_experts_when_dense(self):
+        f, v, y = self._setup()
+        g = jax.grad(lambda p: jnp.sum(f.apply({"params": p}, y) ** 2))(
+            v["params"])
+        # dense softmax gating -> every expert receives gradient
+        per_expert = np.asarray(jnp.abs(g["expert_w1"]).sum(axis=(1, 2)))
+        assert (per_expert > 0).all()
