@@ -235,6 +235,22 @@ def make_device_data_step(trainer: GANTrainer, d_iters: int, video_length: int):
     return jax.jit(step, donate_argnums=(0,))
 
 
+def _parse_mesh(spec: str):
+    """'data=4,seq=2' -> (('data', 'seq'), (4, 2))."""
+    names, sizes = [], []
+    for part in spec.split(","):
+        name, _, size = part.partition("=")
+        names.append(name.strip())
+        sizes.append(int(size))
+    allowed = {("data",), ("data", "seq")}
+    if tuple(names) not in allowed:
+        raise ValueError(
+            f"mesh axes {names} unsupported by the runner; use 'data=N' or "
+            "'data=N,seq=M' (TP/EP placements are model-specific — use "
+            "ganode_tpu.parallel directly)")
+    return tuple(names), tuple(sizes)
+
+
 def run_training(
     config: ExperimentConfig,
     workdir: str,
@@ -244,7 +260,14 @@ def run_training(
     resume: bool = False,
     jit: bool = True,
 ) -> Tuple[object, dict]:
-    """The reference's train() loop (mnist_moco_ode.py:51-195), config-driven."""
+    """The reference's train() loop (mnist_moco_ode.py:51-195), config-driven.
+
+    ``config.mesh`` (e.g. "data=8", "data=4,seq=2") runs the same jitted step
+    GSPMD-parallelized over a device mesh: parameters replicated, real batches
+    sharded over 'data' (and clips over 'seq' — the frame axis), gradients
+    psum-reduced over ICI. Numerically identical to the single-device step
+    (tests/test_infra.py::TestParallel).
+    """
     from ..utils.checkpoint import CheckpointManager
 
     os.makedirs(workdir, exist_ok=True)
@@ -254,11 +277,20 @@ def run_training(
     key = jax.random.PRNGKey(config.seed)
     state = trainer.init_state(key)
 
+    mesh = None
+    if config.mesh:
+        from ..parallel import make_mesh
+        axis_names, shape = _parse_mesh(config.mesh)
+        mesh = make_mesh(int(np.prod(shape)), axis_names, shape=shape)
+
     ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
     start_step = 0
     if resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         start_step = int(state.step)
+    if mesh is not None:
+        from ..parallel import replicate
+        state = replicate(state, mesh)
     # data comes up after restore so the native loader's batch streams can
     # fast-forward to the resume point (python samplers ignore start_step)
     img_sampler, vid_sampler = build_data(config, synthetic=synthetic,
@@ -275,6 +307,17 @@ def run_training(
     throughput = Throughput(config.batch_size)
     step_fn = trainer.jitted_step(donate=False) if jit else trainer.train_step
 
+    place_batch = None
+    if mesh is not None:
+        from ..parallel import shard_batch, shard_batch_seq
+        seq = "seq" in mesh.axis_names
+
+        def place_batch(images, videos):
+            images = shard_batch(images, mesh, batch_axis=1)
+            videos = (shard_batch_seq(videos, mesh, batch_axis=1, time_axis=2)
+                      if seq else shard_batch(videos, mesh, batch_axis=1))
+            return images, videos
+
     metrics = {}
     throughput.start()
     for step in range(start_step, steps):
@@ -282,6 +325,8 @@ def run_training(
         k_img, k_vid, k_train = jax.random.split(k_step, 3)
         images = _stack_d_batches(img_sampler, k_img, config.d_iters)
         videos = _stack_d_batches(vid_sampler, k_vid, config.d_iters)
+        if place_batch is not None:
+            images, videos = place_batch(images, videos)
         state, metrics = step_fn(state, images, videos, k_train)
         throughput.update()
 

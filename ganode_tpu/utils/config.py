@@ -78,6 +78,12 @@ class ExperimentConfig:
     data_loader: str = "python"       # python | native
     # worker threads for the native ring (ignored by the python loader)
     data_loader_threads: int = 4
+    # Device mesh for the training step: "" = single device; "data=8" = DP
+    # over 8 chips; "data=4,seq=2" = DP x sequence-parallel (clips sharded
+    # over batch AND frame axes). Parameters are replicated; GSPMD inserts
+    # the gradient psums. TP/EP placements are model-specific and stay at the
+    # library level (parallel.shard_params_tp / shard_params_ep).
+    mesh: str = ""
     # io cadence (reference mnist_moco_ode.py:164-182)
     tensorboard: bool = True          # mirror metrics to <workdir>/tb events
     log_every: int = 100

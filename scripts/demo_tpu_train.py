@@ -60,8 +60,8 @@ def synthetic_moving_shapes(n_videos, T, size=64, seed=0):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="mnist_ode",
-                   choices=["mnist_ode", "ucf_ode", "ucf_gres", "ucf_odegres",
-                            "ucf_wgan_gp_128"])
+                   choices=["mnist_ode", "mnist_moe_ode", "ucf_ode",
+                            "ucf_gres", "ucf_odegres", "ucf_wgan_gp_128"])
     p.add_argument("--data", default=None,
                    help="rotated-digit .npz (rotmnist configs only); synthetic "
                         "data is used when absent")

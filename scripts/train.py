@@ -29,7 +29,19 @@ def main():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--synthetic", action="store_true",
                    help="run on synthetic data (smoke/dry-run mode)")
+    p.add_argument("--mesh", default=None,
+                   help="device mesh for the step, e.g. 'data=8' (DP) or "
+                        "'data=4,seq=2' (DP x sequence-parallel over the frame "
+                        "axis); params replicated, batches sharded, gradient "
+                        "psums over ICI. On CPU, export "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                        "for virtual devices")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--set", dest="sets", action="append", default=[],
+                   metavar="FIELD=VALUE",
+                   help="override any ExperimentConfig field, typed from the "
+                        "dataclass (e.g. --set ngf=8 --set ema_decay=0.999); "
+                        "repeatable")
     args = p.parse_args()
 
     if args.cpu:
@@ -37,13 +49,37 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from ganode_tpu.train.runner import run_training
-    from ganode_tpu.utils.config import get_config
+    from ganode_tpu.utils.config import ExperimentConfig, get_config
 
     overrides = {}
     if args.data:
         overrides["data_path"] = args.data
     if args.batch_size:
         overrides["batch_size"] = args.batch_size
+    if args.mesh:
+        overrides["mesh"] = args.mesh
+    fields = {f.name: f for f in dataclasses.fields(ExperimentConfig)}
+    for item in args.sets:
+        name, sep, raw = item.partition("=")
+        if not sep or name not in fields:
+            p.error(f"--set {item!r}: expected FIELD=VALUE with FIELD one of "
+                    f"{sorted(fields)}")
+        ftype = fields[name].type
+        if ftype in ("bool", bool):
+            overrides[name] = raw.lower() in ("1", "true", "yes")
+        elif ftype in ("int", int):
+            overrides[name] = int(raw)
+        elif ftype in ("float", float):
+            overrides[name] = float(raw)
+        elif "Tuple" in str(ftype) or "tuple" in str(ftype):
+            parts = [x for x in raw.split(",") if x]
+            overrides[name] = tuple(
+                int(x) if x.lstrip("-").isdigit() else float(x) for x in parts)
+        elif "Optional[str]" in str(ftype) or ftype in ("str", str):
+            overrides[name] = raw or None if "Optional" in str(ftype) else raw
+        else:  # Optional[int] / Optional[float]
+            overrides[name] = (None if raw in ("", "none", "None")
+                               else float(raw) if "." in raw else int(raw))
     config = get_config(args.config, **overrides)
 
     workdir = args.workdir or os.path.join("runs", config.name)

@@ -283,6 +283,29 @@ class TestRunner:
                                            "gensamples_id0.gif"))
         assert all(np.isfinite(v) for v in metrics.values())
 
+    def test_run_training_over_mesh(self, tmp_path):
+        """config.mesh makes the full runner (data -> step -> checkpoint)
+        GSPMD-parallel: the same loop on a 'data=4,seq=2' mesh must produce
+        the same losses as the single-device run (params replicated, clips
+        sharded over batch AND frame axes)."""
+        from ganode_tpu.train.runner import run_training
+        from ganode_tpu.utils.config import get_config
+
+        base = get_config("mnist_ode", batch_size=4)
+        base = base.__class__(**{
+            **base.__dict__, "video_length": 8, "ngf": 8, "ndf": 8,
+            "dim_z_content": 4, "dim_z_motion": 4, "d_iters": 1,
+            "sample_every": 0, "checkpoint_every": 2, "log_every": 1,
+        })
+        _, m1 = run_training(base, str(tmp_path / "single"), steps=2,
+                             synthetic=True)
+        meshed = base.__class__(**{**base.__dict__, "mesh": "data=4,seq=2"})
+        state, m8 = run_training(meshed, str(tmp_path / "mesh"), steps=2,
+                                 synthetic=True)
+        assert int(state.step) == 2
+        for k in m1:
+            np.testing.assert_allclose(m1[k], m8[k], rtol=1e-4, err_msg=k)
+
     def test_missing_dataset_raises(self, tmp_path):
         from ganode_tpu.train.runner import build_data
         from ganode_tpu.utils.config import get_config
