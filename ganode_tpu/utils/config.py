@@ -211,3 +211,43 @@ def get_config(name: str, **overrides) -> ExperimentConfig:
     if name not in CONFIGS:
         raise ValueError(f"unknown config {name!r}; choose from {sorted(CONFIGS)}")
     return CONFIGS[name](**overrides)
+
+
+def overrides_from_strings(items) -> dict:
+    """Parse 'field=value' strings into typed ExperimentConfig overrides.
+
+    The value is coerced from the dataclass field's annotation: bools accept
+    1/true/yes (case-insensitive), tuples are comma-separated numbers,
+    Optional fields map ''/'none' to None. Backs `scripts/train.py --set`.
+    Raises ValueError for unknown fields or missing '='.
+    """
+    fields = {f.name: f for f in dataclasses.fields(ExperimentConfig)}
+    out = {}
+    for item in items:
+        name, sep, raw = item.partition("=")
+        if not sep or name not in fields:
+            raise ValueError(
+                f"{item!r}: expected FIELD=VALUE with FIELD one of "
+                f"{sorted(fields)}")
+        ftype = str(fields[name].type)
+        if ftype == "bool":
+            out[name] = raw.lower() in ("1", "true", "yes")
+        elif ftype == "int":
+            out[name] = int(raw)
+        elif ftype == "float":
+            out[name] = float(raw)
+        elif "Tuple" in ftype or "tuple" in ftype:
+            parts = [x for x in raw.split(",") if x and x not in ("none", "None")]
+            if not parts and "Optional" in ftype:
+                out[name] = None
+            else:
+                out[name] = tuple(
+                    int(x) if x.lstrip("-").isdigit() else float(x)
+                    for x in parts)
+        elif raw in ("", "none", "None") and "Optional" in ftype:
+            out[name] = None
+        elif "str" in ftype:
+            out[name] = raw
+        else:  # Optional[int] / Optional[float]
+            out[name] = float(raw) if "." in raw else int(raw)
+    return out

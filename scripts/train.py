@@ -49,7 +49,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from ganode_tpu.train.runner import run_training
-    from ganode_tpu.utils.config import ExperimentConfig, get_config
+    from ganode_tpu.utils.config import get_config, overrides_from_strings
 
     overrides = {}
     if args.data:
@@ -58,28 +58,10 @@ def main():
         overrides["batch_size"] = args.batch_size
     if args.mesh:
         overrides["mesh"] = args.mesh
-    fields = {f.name: f for f in dataclasses.fields(ExperimentConfig)}
-    for item in args.sets:
-        name, sep, raw = item.partition("=")
-        if not sep or name not in fields:
-            p.error(f"--set {item!r}: expected FIELD=VALUE with FIELD one of "
-                    f"{sorted(fields)}")
-        ftype = fields[name].type
-        if ftype in ("bool", bool):
-            overrides[name] = raw.lower() in ("1", "true", "yes")
-        elif ftype in ("int", int):
-            overrides[name] = int(raw)
-        elif ftype in ("float", float):
-            overrides[name] = float(raw)
-        elif "Tuple" in str(ftype) or "tuple" in str(ftype):
-            parts = [x for x in raw.split(",") if x]
-            overrides[name] = tuple(
-                int(x) if x.lstrip("-").isdigit() else float(x) for x in parts)
-        elif "Optional[str]" in str(ftype) or ftype in ("str", str):
-            overrides[name] = raw or None if "Optional" in str(ftype) else raw
-        else:  # Optional[int] / Optional[float]
-            overrides[name] = (None if raw in ("", "none", "None")
-                               else float(raw) if "." in raw else int(raw))
+    try:
+        overrides.update(overrides_from_strings(args.sets))
+    except ValueError as e:
+        p.error(f"--set {e}")
     config = get_config(args.config, **overrides)
 
     workdir = args.workdir or os.path.join("runs", config.name)

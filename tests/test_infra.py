@@ -79,6 +79,30 @@ class TestConfig:
         with pytest.raises(ValueError):
             get_config("nope")
 
+    def test_overrides_from_strings(self):
+        """Typed CLI overrides (scripts/train.py --set): coercion follows the
+        dataclass field annotations."""
+        from ganode_tpu.utils.config import overrides_from_strings
+
+        out = overrides_from_strings([
+            "ngf=8", "ema_decay=0.999", "tensorboard=false", "loss=hinge",
+            "betas=0.0,0.9", "digits=3", "motion_method=dopri5",
+            "sde_dt=0.025", "mesh=data=4,seq=2",
+        ])
+        assert out == {
+            "ngf": 8, "ema_decay": 0.999, "tensorboard": False,
+            "loss": "hinge", "betas": (0.0, 0.9), "digits": (3,),
+            "motion_method": "dopri5", "sde_dt": 0.025,
+            "mesh": "data=4,seq=2",
+        }
+        assert overrides_from_strings(["digits=none"]) == {"digits": None}
+        c = get_config("mnist_ode", **out)
+        assert c.ngf == 8 and c.betas == (0.0, 0.9)
+        with pytest.raises(ValueError):
+            overrides_from_strings(["nosuchfield=1"])
+        with pytest.raises(ValueError):
+            overrides_from_strings(["ngf8"])
+
 
 class TestGifs:
     def test_video_grid_layout(self):
