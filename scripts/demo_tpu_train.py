@@ -77,6 +77,12 @@ def main():
                    help="also write the history to this path")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 conv compute (TPU mixed precision)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint under <workdir>/"
+                        "checkpoints and continue to --steps (the keyed data/"
+                        "noise stream is indexed by the global step, so a "
+                        "resumed run replays the exact schedule an unbroken "
+                        "run would have used)")
     p.add_argument("--save-checkpoint", action="store_true",
                    help="write the final state as an orbax checkpoint under "
                         "<workdir>/checkpoints so generate.py / evaluate.py "
@@ -143,6 +149,21 @@ def main():
 
     key = jax.random.PRNGKey(0)
     state = jax.jit(trainer.init_state)(key)
+    start_step = 0
+    if args.resume:
+        from ganode_tpu.utils.checkpoint import CheckpointManager
+        mgr = CheckpointManager(os.path.join(args.workdir, "checkpoints"))
+        if mgr.latest_step() is None:
+            print(f"--resume: no checkpoint under {args.workdir}, "
+                  "starting fresh", flush=True)
+        else:
+            state = mgr.restore(state)
+            start_step = int(state.step)
+            print(f"resumed from step {start_step}", flush=True)
+        mgr.close()
+        if start_step >= args.steps:
+            p.error(f"--resume: checkpoint is already at step {start_step} "
+                    f">= --steps {args.steps}; raise --steps to continue")
     step = make_device_data_step(trainer, config.d_iters, config.video_length)
 
     # eval plumbing (host side, run sparsely)
@@ -210,7 +231,7 @@ def main():
     t0 = time.time()
     stop_file = os.path.join(args.workdir, "STOP")
     stopped_early = False
-    for i in range(args.steps):
+    for i in range(start_step, args.steps):
         state, metrics = step(state, videos, jax.random.fold_in(key, i))
         # graceful early stop: `touch <workdir>/STOP` ends the run at the next
         # eval boundary WITH summary + checkpoint intact — killing a TPU
