@@ -105,6 +105,7 @@ def main():
     # ---- compile + XLA-reported step FLOPs ----------------------------------
     t0 = time.time()
     flops = None
+    mem = None
     try:
         compiled = step.lower(state, images, videos,
                               jax.random.fold_in(key, 0)).compile()
@@ -113,6 +114,17 @@ def main():
             ca = ca[0] if ca else {}
         if ca and ca.get("flops", 0) > 0:
             flops = float(ca["flops"])
+        # XLA's compiled memory budget for the step: how much HBM the
+        # arguments, outputs, and fused-program temporaries occupy (the
+        # rematerialization headroom story — jax.checkpoint keeps the solver
+        # replay out of temp space)
+        ma = compiled.memory_analysis()
+        if ma is not None:
+            mem = {
+                "argument_mb": round(ma.argument_size_in_bytes / 2**20, 1),
+                "output_mb": round(ma.output_size_in_bytes / 2**20, 1),
+                "temp_mb": round(ma.temp_size_in_bytes / 2**20, 1),
+            }
     except Exception:
         pass
     state, metrics = step(state, images, videos, jax.random.fold_in(key, 0))
@@ -262,6 +274,8 @@ def main():
         "device_kind": jax.devices()[0].device_kind,
     }
 
+    if mem:
+        result["step_memory_mb"] = mem
     if flops:
         result["step_tflops"] = round(flops / 1e12, 3)
         peak = _peak_flops(result["device_kind"]) if on_tpu else None

@@ -22,6 +22,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from ganode_tpu.utils.config import CONFIGS  # pure dataclasses — no jax import
+
 
 def synthetic_moving_shapes(n_videos, T, size=64, seed=0):
     """Color videos of a bright square translating along a random line — the
@@ -59,9 +61,7 @@ def synthetic_moving_shapes(n_videos, T, size=64, seed=0):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--config", default="mnist_ode",
-                   choices=["mnist_ode", "mnist_moe_ode", "ucf_ode",
-                            "ucf_gres", "ucf_odegres", "ucf_wgan_gp_128"])
+    p.add_argument("--config", default="mnist_ode", choices=sorted(CONFIGS))
     p.add_argument("--data", default=None,
                    help="rotated-digit .npz (rotmnist configs only); synthetic "
                         "data is used when absent")
@@ -136,7 +136,7 @@ def main():
         from ganode_tpu.data import load_rotmnist
         videos_np, labels_np = load_rotmnist(
             args.data, train=True, split=10**9,  # whole file resident in HBM
-            num_frames=config.video_length)
+            num_frames=config.video_length, digits=config.digits)
         videos_np = videos_np * 2.0 - 1.0  # [-1,1] so reals match tanh fakes
     elif config.dataset == "ucf101":
         size = 128 if config.trunk == "dcgan128" else 64
@@ -178,6 +178,11 @@ def main():
         cls_labels = labels_np % 8 if config.dataset == "ucf101" else labels_np
         n_cls = int(cls_labels.max()) + 1
         n_emb = int(labels_np.max()) + 1
+        if config.dataset == "rotmnist":
+            # digit-identity classes: pin to 10 so digit-filtered configs
+            # (mnist_ode_wgan/noise, 3s-only) score against the SAME persisted
+            # feature models as the full-set runs — FVD/IS stay comparable
+            n_cls = n_emb = 10
         assets = os.path.join("eval_assets", config.dataset)
         # feature-model params are input-size dependent (Dense after flatten),
         # so ucf101 assets carry the frame size (128 vs 64 configs coexist)
