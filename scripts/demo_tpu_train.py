@@ -93,6 +93,11 @@ def main():
     p.add_argument("--motion-method", default=None,
                    help="override the motion solver (e.g. dopri5 to train "
                         "with the adaptive solver + custom-vjp backsolve)")
+    p.add_argument("--set", dest="sets", action="append", default=[],
+                   metavar="FIELD=VALUE",
+                   help="override any ExperimentConfig field, typed against "
+                        "the dataclass (same syntax as scripts/train.py --set; "
+                        "e.g. --set gp_weight=10.0 --set sn_video=true)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="shrink the model for CPU smoke runs")
@@ -111,11 +116,15 @@ def main():
         save_params, train_classifier, train_video_embedder)
     from ganode_tpu.train.runner import (
         build_trainer, make_device_data_step, synthetic_rotmnist)
-    from ganode_tpu.utils.config import get_config
+    from ganode_tpu.utils.config import get_config, overrides_from_strings
     from ganode_tpu.utils.gifs import save_sample_grid
 
     os.makedirs(args.workdir, exist_ok=True)
     overrides = {"batch_size": args.batch_size}
+    try:
+        overrides.update(overrides_from_strings(args.sets))
+    except ValueError as e:
+        p.error(f"--set {e}")
     if args.bf16:
         overrides["compute_dtype"] = "bfloat16"
     if args.motion_method:
@@ -284,6 +293,7 @@ def main():
               for k in ("dis_img_loss", "dis_vid_loss", "gen_loss")]
     summary = {
         "config": config.name,
+        "overrides": args.sets,
         "trunk": config.trunk,
         "batch_size": config.batch_size,
         "steps": history[-1]["step"] + 1,   # actual (STOP may end a run early)
