@@ -34,6 +34,10 @@ def main():
                         "live; reused across runs so IS/FVD are comparable")
     p.add_argument("--retrain-assets", action="store_true",
                    help="retrain and overwrite the persisted feature models")
+    p.add_argument("--set", dest="sets", action="append", default=[],
+                   metavar="FIELD=VALUE",
+                   help="config overrides (train.py --set syntax); the restore "
+                        "template must match the checkpointed model's sizes")
     args = p.parse_args()
 
     if args.cpu:
@@ -48,9 +52,13 @@ def main():
         train_classifier, train_video_embedder)
     from ganode_tpu.train.runner import build_data, build_trainer
     from ganode_tpu.utils.checkpoint import CheckpointManager
-    from ganode_tpu.utils.config import get_config
+    from ganode_tpu.utils.config import get_config, overrides_from_strings
 
     overrides = {"data_path": args.data} if args.data else {}
+    try:
+        overrides.update(overrides_from_strings(args.sets))
+    except ValueError as e:
+        p.error(f"--set {e}")
     config = get_config(args.config, **overrides)
     trainer = build_trainer(config)
 

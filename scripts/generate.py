@@ -26,6 +26,10 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help=".npz output path")
     p.add_argument("--gif", default=None, help="GIF grid output path")
+    p.add_argument("--set", dest="sets", action="append", default=[],
+                   metavar="FIELD=VALUE",
+                   help="config overrides (train.py --set syntax); the restore "
+                        "template must match the checkpointed model's sizes")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -38,10 +42,14 @@ def main():
 
     from ganode_tpu.train.runner import build_trainer
     from ganode_tpu.utils.checkpoint import CheckpointManager
-    from ganode_tpu.utils.config import get_config
+    from ganode_tpu.utils.config import get_config, overrides_from_strings
     from ganode_tpu.utils.gifs import save_sample_grid
 
-    config = get_config(args.config)
+    try:
+        overrides = overrides_from_strings(args.sets)
+    except ValueError as e:
+        p.error(f"--set {e}")
+    config = get_config(args.config, **overrides)
     trainer = build_trainer(config)
     state = trainer.init_state(jax.random.PRNGKey(config.seed))
     mgr = CheckpointManager(os.path.join(args.workdir, "checkpoints"))
