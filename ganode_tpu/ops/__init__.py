@@ -6,6 +6,7 @@ from .conv3d_grad import (
 )
 from .fused_gru import fused_gru_motion, reference_gru_motion
 from .fused_rk4 import fused_rk4_motion, reference_rk4_motion
+from .quant import int8_trunk_apply, quantize_trunk
 
 __all__ = [
     "conv3d_first",
@@ -13,6 +14,8 @@ __all__ = [
     "conv3d_s122_dx_tfold",
     "fused_gru_motion",
     "fused_rk4_motion",
+    "int8_trunk_apply",
+    "quantize_trunk",
     "reference_gru_motion",
     "reference_rk4_motion",
 ]

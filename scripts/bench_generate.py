@@ -24,6 +24,9 @@ def main():
     p.add_argument("--batches", type=int, nargs="+",
                    default=[32, 128, 512])
     p.add_argument("--video-length", type=int, default=16)
+    p.add_argument("--int8", action="store_true",
+                   help="also bench the int8-quantized trunk serving path "
+                        "(ganode_tpu.ops.quant) and report its output error")
     args = p.parse_args()
 
     if args.cpu:
@@ -32,6 +35,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from ganode_tpu.models import make_generator
 
@@ -80,6 +84,47 @@ def main():
             "clips_per_sec": round(cps, 1),
         }
         best = max(best, cps)
+
+    if args.int8:
+        from ganode_tpu.ops import int8_trunk_apply, quantize_trunk
+
+        qp = quantize_trunk("dcgan64", variables["params"]["main"],
+                            variables["batch_stats"]["main"])
+
+        def sample_int8(k, B):
+            T = args.video_length
+            z, _ = gen.apply(gvars, B, T, method="sample_z_video",
+                             rngs={"sample": k}, train=False)
+            h = int8_trunk_apply("dcgan64", qp, z[:, None, None, :])
+            return h.reshape(B, T, *h.shape[1:])
+
+        results["int8"] = {"per_batch": {}}
+        best8 = 0.0
+        for B in args.batches:
+            fn8 = jax.jit(lambda k, B=B: sample_int8(k, B))
+            float(jnp.sum(fn8(key)))
+            sec = slope(fn8)
+            cps = B / sec
+            results["int8"]["per_batch"][str(B)] = {
+                "latency_ms": round(sec * 1e3, 2),
+                "clips_per_sec": round(cps, 1),
+            }
+            best8 = max(best8, cps)
+        # output fidelity: int8 trunk vs the serving trunk on identical latents
+        z, _ = gen.apply(gvars, 16, args.video_length,
+                         method="sample_z_video", rngs={"sample": key},
+                         train=False)
+        z4 = z[:, None, None, :]
+        f_ref = jax.jit(lambda z: gen.apply(
+            gvars, z, train=False,
+            method=lambda m, zz, train: m.main(zz, train=train)))
+        want = np.asarray(f_ref(z4), np.float32)
+        got = np.asarray(jax.jit(
+            lambda z: int8_trunk_apply("dcgan64", qp, z))(z4), np.float32)
+        results["int8"]["max_abs_err"] = round(float(np.max(np.abs(got - want))), 4)
+        results["int8"]["mean_abs_err"] = round(float(np.mean(np.abs(got - want))), 5)
+        results["int8"]["value"] = round(best8, 1)
+        results["int8"]["speedup_vs_bf16"] = round(best8 / best, 3)
 
     results["value"] = round(best, 1)
     print(json.dumps(results))

@@ -261,3 +261,80 @@ class TestConv3DFoldedGrad:
         d = VideoDiscriminator(ksize=2, ndf=8)
         variables = d.init({"params": jax.random.PRNGKey(1)}, x)
         assert "FastGradConv3D_0" not in variables["params"]
+
+
+class TestInt8Serving:
+    """ganode_tpu.ops.quant: int8 post-training quantization of the deconv
+    trunks (the serving path; measured 1.16-1.28x on v5e, scripts/bench_int8.py)."""
+
+    def test_int8_deconv_geometry_is_exact(self):
+        """With integer-valued inputs (no quantization error) the int8 dilated
+        deconv must equal flax's ConvTranspose bit-for-bit — pins kernel
+        orientation, padding, and stride of the serving reimplementation."""
+        from flax import linen as nn
+
+        from ganode_tpu.ops.quant import _deconv_i8
+
+        k = jax.random.PRNGKey(0)
+        xq = jax.random.randint(k, (2, 8, 8, 6), -5, 6).astype(jnp.int8)
+        kq = jax.random.randint(jax.random.fold_in(k, 1), (4, 4, 6, 10),
+                                -5, 6).astype(jnp.int8)
+        got = _deconv_i8(xq, kq, stride=2, torch_pad=1)  # int32
+
+        # torch (k=4, s=2, p=1) semantics == flax padding k-1-p = 2
+        ct = nn.ConvTranspose(10, (4, 4), strides=(2, 2),
+                              padding=((2, 2), (2, 2)), use_bias=False)
+        want = ct.apply({"params": {"kernel": kq.astype(jnp.float32)}},
+                        xq.astype(jnp.float32))
+        assert got.shape == want.shape == (2, 16, 16, 10)
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(want))
+
+    def _trunk_pair(self, trunk_cls, trunk_name, n_channels, spatial_in=1):
+        from ganode_tpu.ops import int8_trunk_apply, quantize_trunk
+
+        trunk = trunk_cls(n_channels=n_channels, ngf=8)
+        z = jax.random.normal(jax.random.PRNGKey(0), (4, 1, 1, 14)) \
+            if spatial_in == 1 else None
+        variables = trunk.init({"params": jax.random.PRNGKey(1)}, z)
+        # make BN stats non-trivial so the fold is actually exercised
+        _, upd = trunk.apply(variables, z, train=True, mutable=["batch_stats"])
+        variables = {"params": variables["params"],
+                     "batch_stats": upd["batch_stats"]}
+        want = trunk.apply(variables, z, train=False)
+        qp = quantize_trunk(trunk_name, variables["params"],
+                            variables["batch_stats"])
+        got = int8_trunk_apply(trunk_name, qp, z)
+        return np.asarray(want), np.asarray(got)
+
+    def test_dcgan64_int8_close_to_f32(self):
+        from ganode_tpu.models.mocogan import DCGANTrunk64
+
+        want, got = self._trunk_pair(DCGANTrunk64, "dcgan64", 3)
+        assert got.shape == want.shape == (4, 64, 64, 3)
+        assert np.all(np.isfinite(got))
+        assert np.max(np.abs(got - want)) < 0.15
+        assert np.mean(np.abs(got - want)) < 0.02
+
+    def test_mnist28_int8_close_to_f32(self):
+        from ganode_tpu.models.mocogan import MNISTTrunk28
+
+        want, got = self._trunk_pair(MNISTTrunk28, "mnist28", 1)
+        assert got.shape == want.shape == (4, 28, 28, 1)
+        assert np.max(np.abs(got - want)) < 0.15
+        assert np.mean(np.abs(got - want)) < 0.02
+
+    def test_dcgan128_int8_close_to_f32(self):
+        from ganode_tpu.models.mocogan import DCGANTrunk128
+
+        want, got = self._trunk_pair(DCGANTrunk128, "dcgan128", 3)
+        assert got.shape == want.shape == (4, 128, 128, 3)
+        assert np.max(np.abs(got - want)) < 0.15
+        assert np.mean(np.abs(got - want)) < 0.02
+
+    def test_unknown_trunk_is_loud(self):
+        from ganode_tpu.ops import quantize_trunk
+
+        import pytest
+        with pytest.raises(ValueError, match="int8 geometry"):
+            quantize_trunk("gres64", {}, {})
