@@ -18,7 +18,13 @@ research codebase chechaohp/gan-ode ("GAN with Neural ODEs for Video Generation"
 * ``ganode_tpu.parallel`` — ``jax.sharding`` mesh / data-parallel utilities (ICI
   collectives via XLA, not NCCL).
 * ``ganode_tpu.ops``      — Pallas TPU kernels for the hot paths (fused RK4 motion
-  solve, fused GRU scan).
+  solve, fused GRU scan), the MXU-folded conv gradient, and the int8-quantized
+  serving trunk.
+* ``ganode_tpu.runtime``  — native C++ data runtime (mmap + threaded prefetch ring).
+* ``ganode_tpu.eval``     — Inception Score / Fréchet distance with persistable
+  trained feature models.
+* ``ganode_tpu.compat_torch`` — import the reference's trained torch checkpoints
+  (scripts/import_reference_checkpoint.py is the CLI).
 """
 
 __version__ = "0.1.0"

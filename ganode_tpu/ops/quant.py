@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["quantize_trunk", "int8_trunk_apply", "TRUNK_GEOMETRY"]
+__all__ = ["quantize_trunk", "int8_trunk_apply", "calibrate_act_scales",
+           "TRUNK_GEOMETRY"]
 
 # (conv param name, BN param name or None, stride, torch padding) per layer;
 # geometry matches models/mocogan.py's trunks (reference models/mocogan.py:
@@ -103,10 +104,43 @@ def quantize_trunk(trunk: str, params: Dict[str, Any],
     return out
 
 
-def _act_quantize(x):
-    s = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-12)
+def _act_quantize(x, scale=None):
+    """Symmetric int8 activation quantization.
+
+    ``scale=None`` is dynamic (max-abs of the live tensor — one extra
+    reduction pass per layer); a calibrated static scale skips that pass
+    (values beyond it clip, which the ReLU pyramid tolerates)."""
+    s = (jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-12)
+         if scale is None else scale)
     q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
     return q, s
+
+
+def calibrate_act_scales(trunk: str, params: Dict[str, Any],
+                         batch_stats: Dict[str, Any], z) -> List[jax.Array]:
+    """Per-layer static activation scales from one representative latent batch.
+
+    Replays the eval-mode trunk in f32 (same geometry/folded BN as the int8
+    path) and records max-abs of each layer's input. GAN trunks are stationary
+    at serving time (fixed weights, z ~ N(0, I)), so one calibration batch
+    generalizes; ``int8_trunk_apply(..., act_scales=...)`` then runs without
+    any per-batch reduction passes."""
+    geometry = TRUNK_GEOMETRY[trunk]
+    h = jnp.asarray(z, jnp.float32)
+    scales = []
+    n_layers = len(geometry)
+    for i, (conv_name, bn_name, stride, pad) in enumerate(geometry):
+        scales.append(jnp.maximum(jnp.max(jnp.abs(h)) / 127.0, 1e-12))
+        k = jnp.asarray(params[conv_name]["kernel"], jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            h, k, window_strides=(1, 1),
+            padding=((k.shape[0] - 1 - pad,) * 2, (k.shape[1] - 1 - pad,) * 2),
+            lhs_dilation=(stride, stride), dimension_numbers=_dn())
+        if bn_name is not None:
+            bn_scale, bn_bias = _fold_bn(params[bn_name], batch_stats[bn_name])
+            y = y * bn_scale + bn_bias
+        h = jax.nn.relu(y) if i < n_layers - 1 else y
+    return scales
 
 
 def _deconv_i8(xq, kq, stride: int, torch_pad: int):
@@ -118,19 +152,22 @@ def _deconv_i8(xq, kq, stride: int, torch_pad: int):
         preferred_element_type=jnp.int32)
 
 
-def int8_trunk_apply(trunk: str, qparams: Dict[str, Any], z) -> jax.Array:
+def int8_trunk_apply(trunk: str, qparams: Dict[str, Any], z,
+                     act_scales: Optional[List[jax.Array]] = None) -> jax.Array:
     """z (B', 1, 1, dim_z) f32 -> frames (B', H, W, C) f32 in [-1, 1].
 
-    Numerically the eval-mode trunk with int8 convs: relative output error vs
-    the f32 path is ~1e-2 (tests/test_ops.py pins it), which is visually and
-    FVD-irrelevant for GAN serving.
+    Numerically the eval-mode trunk with int8 convs: output error vs the f32
+    path is bounded by tests/test_ops.py, far below GAN sample variability.
+    ``act_scales`` (from :func:`calibrate_act_scales`) switches activation
+    quantization from dynamic to static — no per-batch reduction passes.
     """
     geometry = TRUNK_GEOMETRY[trunk]
     h = jnp.asarray(z, jnp.float32)
     n_layers = len(geometry)
     for i, ((_, _, stride, pad), layer) in enumerate(zip(geometry,
                                                          qparams["layers"])):
-        hq, a_scale = _act_quantize(h)
+        hq, a_scale = _act_quantize(
+            h, None if act_scales is None else act_scales[i])
         y = _deconv_i8(hq, layer["kernel_q"], stride, pad)
         h = y.astype(jnp.float32) * (a_scale * layer["scale"]) + layer["bias"]
         if i < n_layers - 1:

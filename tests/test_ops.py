@@ -338,3 +338,30 @@ class TestInt8Serving:
         import pytest
         with pytest.raises(ValueError, match="int8 geometry"):
             quantize_trunk("gres64", {}, {})
+
+    def test_static_act_scales_close_to_f32(self):
+        from ganode_tpu.models.mocogan import DCGANTrunk64
+        from ganode_tpu.ops import int8_trunk_apply, quantize_trunk
+        from ganode_tpu.ops.quant import calibrate_act_scales
+
+        trunk = DCGANTrunk64(n_channels=3, ngf=8)
+        z = jax.random.normal(jax.random.PRNGKey(0), (4, 1, 1, 14))
+        variables = trunk.init({"params": jax.random.PRNGKey(1)}, z)
+        _, upd = trunk.apply(variables, z, train=True, mutable=["batch_stats"])
+        variables = {"params": variables["params"],
+                     "batch_stats": upd["batch_stats"]}
+        want = np.asarray(trunk.apply(variables, z, train=False))
+        qp = quantize_trunk("dcgan64", variables["params"],
+                            variables["batch_stats"])
+        scales = calibrate_act_scales("dcgan64", variables["params"],
+                                      variables["batch_stats"], z)
+        # fresh latents (NOT the calibration batch) must still be close
+        z2 = jax.random.normal(jax.random.PRNGKey(7), (4, 1, 1, 14))
+        want2 = np.asarray(trunk.apply(variables, z2, train=False))
+        got2 = np.asarray(int8_trunk_apply("dcgan64", qp, z2,
+                                           act_scales=scales))
+        assert np.max(np.abs(got2 - want2)) < 0.2
+        assert np.mean(np.abs(got2 - want2)) < 0.02
+        # calibration batch itself
+        got = np.asarray(int8_trunk_apply("dcgan64", qp, z, act_scales=scales))
+        assert np.max(np.abs(got - want)) < 0.15
