@@ -225,16 +225,97 @@ def load_reference_checkpoint(path: str) -> Dict[str, Any]:
     return torch.load(path, map_location="cpu", weights_only=True)
 
 
-def import_gan_state(ckpt: Dict[str, Any], state, config):
+_BUFFER_SUFFIXES = ("running_mean", "running_var", "num_batches_tracked")
+
+
+def _moment_sds(model_sd: Dict[str, Any], opt_sd: Dict[str, Any]):
+    """torch Adam state -> two fake state_dicts valued with exp_avg / exp_avg_sq.
+
+    torch's ``state_dict()`` emits each submodule's parameters before its
+    buffers, in registration order — the same traversal ``parameters()`` uses —
+    so the state_dict keys minus the BN buffers ARE the optimizer's parameter
+    order (the reference passes ``model.parameters()`` straight to Adam,
+    mnist_moco_ode.py:86-88). Valuing a copy of the model state_dict with the
+    moments lets the SAME name/layout importers convert them (moments are
+    elementwise with their parameters, so the deconv flip / transpose rules
+    apply identically). Buffer entries keep their model values — the importers
+    read BN stats from them but the moment trees never include stats.
+    """
+    names = [k for k in model_sd if not k.endswith(_BUFFER_SUFFIXES)]
+    order = [i for g in opt_sd["param_groups"] for i in g["params"]]
+    state = opt_sd["state"]
+    if len(order) != len(names):
+        raise ValueError(
+            f"optimizer has {len(order)} params, model has {len(names)}")
+    avg_sd, sq_sd = dict(model_sd), dict(model_sd)
+    count = 0
+    for name, idx in zip(names, order):
+        s = state.get(idx)
+        if s is None:
+            # torch Adam state is lazy: a parameter that never received a
+            # gradient (e.g. the ODE variants' unused inherited GRU) has no
+            # entry — its moments are zero, matching optax's init
+            z = np.zeros_like(_np(model_sd[name]))
+            avg_sd[name], sq_sd[name] = z, z
+            continue
+        avg_sd[name] = s["exp_avg"]
+        sq_sd[name] = s["exp_avg_sq"]
+        count = max(count, int(s["step"]))
+    return avg_sd, sq_sd, count
+
+
+def _replace_adam_moments(opt_state, mu, nu, count):
+    """Swap the (mu, nu, count) of every ScaleByAdamState inside an optax
+    chain state (our reference_adam = add_decayed_weights + adam, matching
+    torch Adam's coupled weight decay)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    def cast(v, like):
+        v = jnp.asarray(v, like.dtype)
+        if v.shape != like.shape:
+            raise ValueError(f"moment shape {v.shape} != {like.shape}")
+        return v
+
+    replaced = []
+
+    def rec(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            replaced.append(True)
+            return node._replace(
+                count=jnp.asarray(count, node.count.dtype),
+                mu=jax.tree.map(lambda like, v: cast(v, like), node.mu, mu),
+                nu=jax.tree.map(lambda like, v: cast(v, like), node.nu, nu))
+        if isinstance(node, tuple):
+            items = [rec(x) for x in node]
+            # NamedTuple states take positional fields; plain tuples take one
+            # iterable
+            return (type(node)(*items) if hasattr(node, "_fields")
+                    else tuple(items))
+        return node
+
+    new_state = rec(opt_state)
+    if not replaced:
+        raise ValueError("no ScaleByAdamState found in opt_state")
+    return new_state
+
+
+def import_gan_state(ckpt: Dict[str, Any], state, config, *,
+                     import_optimizer: bool = True):
     """Reference checkpoint dict -> our ``GANState`` with imported weights.
 
     ``ckpt`` is the dict the reference saves ({'epoch', 'model_state_dict':
-    [gen, disVid, disImg], ...}); ``state`` a freshly-initialized GANState
-    from the matching config (it supplies optimizer-state / EMA / key
-    structure — reference torch-Adam moments are NOT imported; fine-tuning
-    restarts the optimizer, as the reference itself does when editing lr).
-    Returns the new state with step = the reference 'epoch' (one reference
-    "epoch" == one G-step, mnist_moco_ode.py:113).
+    [gen, disVid, disImg], 'optimizer_state_dict': [genOpt, disVidOpt,
+    disImgOpt]}); ``state`` a freshly-initialized GANState from the matching
+    config (it supplies optimizer-state / EMA / key structure). When the
+    checkpoint carries torch-Adam moments and ``import_optimizer`` is true
+    they are imported too (exp_avg/exp_avg_sq -> the chain's ScaleByAdamState
+    mu/nu, same layout transforms as the parameters; our ``reference_adam``
+    reproduces torch's coupled weight decay, so fine-tuning continues the
+    reference's optimizer trajectory rather than restarting Adam). Returns the
+    new state with step = the reference 'epoch' (one reference "epoch" == one
+    G-step, mnist_moco_ode.py:113).
     """
     if config.video_disc not in ("full", "patch") or \
             config.image_disc not in ("full", "patch"):
@@ -280,6 +361,34 @@ def import_gan_state(ckpt: Dict[str, Any], state, config):
     new_img = state.dis_img.replace(
         params=align(img_p, state.dis_img.params),
         batch_stats=align(img_s, state.dis_img.batch_stats))
+
+    opt_sds = ckpt.get("optimizer_state_dict") or [None] * 3
+    if import_optimizer:
+        for net, net_sd, opt_sd, imp in (
+                ("gen", gen_sd, opt_sds[0],
+                 lambda sd: import_generator(sd, variant=config.variant,
+                                             trunk=config.trunk)),
+                ("dis_vid", vid_sd, opt_sds[1],
+                 lambda sd: import_video_discriminator(
+                     sd, kind=config.video_disc,
+                     ksize=config.video_disc_ksize)),
+                ("dis_img", img_sd, opt_sds[2],
+                 lambda sd: import_image_discriminator(
+                     sd, kind=config.image_disc))):
+            if not opt_sd or not opt_sd.get("state"):
+                continue  # fresh / absent optimizer in the checkpoint
+            avg_sd, sq_sd, count = _moment_sds(net_sd, opt_sd)
+            cur = {"gen": new_gen, "dis_vid": new_vid, "dis_img": new_img}[net]
+            mu = align(imp(avg_sd)[0], cur.params)
+            nu = align(imp(sq_sd)[0], cur.params)
+            cur = cur.replace(opt_state=_replace_adam_moments(
+                cur.opt_state, mu, nu, count))
+            if net == "gen":
+                new_gen = cur
+            elif net == "dis_vid":
+                new_vid = cur
+            else:
+                new_img = cur
     return state.replace(
         gen=new_gen, dis_vid=new_vid, dis_img=new_img,
         # EMA (our addition) has no reference history: seed it at the

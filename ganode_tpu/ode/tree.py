@@ -37,19 +37,28 @@ def tree_lincomb(coeffs, trees, base=None):
     ``coeffs`` may be Python floats or scalar jnp arrays. ``trees`` is a sequence of
     pytrees sharing one structure. When ``base`` is None the plain linear combination
     is returned. Zero-length ``trees`` returns ``base`` unchanged.
+
+    Each coefficient is cast to its leaf's dtype, so the state dtype governs
+    the solve (torchdiffeq semantics): f32 states stay f32 even when ``ts``
+    arrives as f64 (e.g. under jax_enable_x64, where a bare ``jnp.linspace``
+    is f64 and would otherwise promote the solver's scan carry).
     """
     if not trees:
         return base
+    def c(i, like):
+        v = coeffs[i]
+        return v.astype(like.dtype) if hasattr(v, "astype") else \
+            jnp.asarray(v, like.dtype)
     def leaf(*leaves):
         if base is not None:
             acc = leaves[0]
             ks = leaves[1:]
         else:
-            acc = coeffs[0] * leaves[0]
+            acc = c(0, leaves[0]) * leaves[0]
             ks = leaves[1:]
         offs = 0 if base is not None else 1
         for i, k in enumerate(ks):
-            acc = acc + coeffs[i + offs] * k
+            acc = acc + c(i + offs, k) * k
         return acc
     if base is not None:
         return jax.tree.map(leaf, base, *trees)
