@@ -365,3 +365,26 @@ class TestInt8Serving:
         # calibration batch itself
         got = np.asarray(int8_trunk_apply("dcgan64", qp, z, act_scales=scales))
         assert np.max(np.abs(got - want)) < 0.15
+
+    def test_int8_trunk_shards_over_dp_mesh(self):
+        """The quantized serving path is a pure function of (pytree, z): jit
+        over an 8-device DP mesh must shard the frame axis and reproduce the
+        single-device output bitwise (GSPMD inserts no cross-frame compute)."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from ganode_tpu.models.mocogan import DCGANTrunk64
+        from ganode_tpu.ops import int8_trunk_apply, quantize_trunk
+
+        trunk = DCGANTrunk64(n_channels=3, ngf=8)
+        z = jax.random.normal(jax.random.PRNGKey(0), (16, 1, 1, 14))
+        variables = trunk.init({"params": jax.random.PRNGKey(1)}, z)
+        qp = quantize_trunk("dcgan64", variables["params"],
+                            jax.tree.map(lambda x: x, variables["batch_stats"]))
+        single = np.asarray(int8_trunk_apply("dcgan64", qp, z))
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        zs = jax.device_put(z, NamedSharding(mesh, P("data")))
+        qs = jax.device_put(qp, NamedSharding(mesh, P()))
+        out = jax.jit(lambda q, x: int8_trunk_apply("dcgan64", q, x))(qs, zs)
+        assert out.sharding.spec == P("data")
+        np.testing.assert_array_equal(np.asarray(out), single)
