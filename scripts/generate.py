@@ -30,6 +30,11 @@ def main():
                    metavar="FIELD=VALUE",
                    help="config overrides (train.py --set syntax); the restore "
                         "template must match the checkpointed model's sizes")
+    p.add_argument("--int8", action="store_true",
+                   help="run the trunk through the int8-quantized serving "
+                        "path (ganode_tpu.ops.quant; output error <=5e-4; "
+                        "measured a wash vs bf16 on v5e — see docs/DESIGN.md "
+                        "'Int8 serving path' — but 4x smaller weights)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -61,14 +66,30 @@ def main():
 
     variables = trainer.eval_gen_variables(state)  # EMA weights when enabled
     key = jax.random.PRNGKey(args.seed)
+    T = args.video_len or config.video_length
+    if args.int8:
+        from ganode_tpu.ops import int8_trunk_apply, quantize_trunk
+
+        qp = quantize_trunk(config.trunk, variables["params"]["main"],
+                            variables["batch_stats"]["main"])
+
+        def sample(n, k):
+            z, _ = trainer.gen.apply(variables, n, T,
+                                     method="sample_z_video",
+                                     rngs={"sample": k}, train=False)
+            h = int8_trunk_apply(config.trunk, qp, z[:, None, None, :])
+            return h.reshape(n, T, *h.shape[1:])
+    else:
+        def sample(n, k):
+            (v, _) = trainer.gen.apply(
+                variables, n, method="sample_videos", rngs={"sample": k},
+                train=False, video_len=args.video_len)
+            return v
+
     videos = []
     for j in range(0, args.num, args.batch_size):
         n = min(args.batch_size, args.num - j)
-        (v, _) = trainer.gen.apply(
-            variables, n, method="sample_videos",
-            rngs={"sample": jax.random.fold_in(key, j)},
-            train=False, video_len=args.video_len)
-        videos.append(np.asarray(v))
+        videos.append(np.asarray(sample(n, jax.random.fold_in(key, j))))
     videos = np.concatenate(videos)
     print(f"generated {videos.shape} in [{videos.min():.3f}, {videos.max():.3f}]")
 
