@@ -18,6 +18,12 @@ path at all):
 * the final tanh runs in f32 — output error vs the f32 path is measured by
   ``tests/test_ops.py`` and reported by ``scripts/bench_generate.py --int8``.
 
+Measured verdict (docs/DESIGN.md "Int8 serving path"): END-TO-END A WASH on
+v5e — the bf16 deconvs already sit at ~94% MFU, so quantization's extra HBM
+passes consume the isolated 1.16-1.28x MXU gain (dynamic scales 0.64-0.80x,
+static calibrated scales 1.00-1.04x). Kept for the 4x weight-memory saving
+and for hardware where the trade-off differs; bf16 remains the default.
+
 Usage: ``qp = quantize_trunk(trunk_name, params, batch_stats)`` once, then
 ``frames = int8_trunk_apply(trunk_name, qp, z)`` inside jit.
 """
@@ -27,7 +33,6 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["quantize_trunk", "int8_trunk_apply", "calibrate_act_scales",
            "TRUNK_GEOMETRY"]
