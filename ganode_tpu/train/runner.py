@@ -7,6 +7,7 @@ logging / GIF sampling / checkpointing at the reference's cadences.
 from __future__ import annotations
 
 import os
+import signal
 from typing import Optional, Tuple
 
 import jax
@@ -235,6 +236,39 @@ def make_device_data_step(trainer: GANTrainer, d_iters: int, video_length: int):
     return jax.jit(step, donate_argnums=(0,))
 
 
+class GracefulStop:
+    """Preemption-safe stop request: SIGTERM/SIGINT (the notice a preempted
+    TPU-pod worker gets) or a ``<workdir>/STOP`` file end the run gracefully —
+    the in-flight step completes, the state is checkpointed, and
+    ``run_training`` returns cleanly, so re-issuing the same command with
+    ``resume=True`` continues bit-deterministically (the PRNG key lives in the
+    checkpointed state). The reference had no preemption story at all — long
+    runs were resumed by hand-editing a flag (reference
+    mnist_moco_ode.py:92-103); SURVEY.md §5.3 names this gap explicitly.
+    """
+
+    def __init__(self, signals=(signal.SIGTERM, signal.SIGINT)):
+        self.requested = False
+        self._signals = signals
+        self._saved = {}
+
+    def _handle(self, signum, frame):
+        self.requested = True
+
+    def __enter__(self):
+        try:
+            for s in self._signals:
+                self._saved[s] = signal.signal(s, self._handle)
+        except ValueError:  # not the main thread: STOP-file polling only
+            self._saved = {}
+        return self
+
+    def __exit__(self, *exc):
+        for s, h in self._saved.items():
+            signal.signal(s, h)
+        return False
+
+
 def _parse_mesh(spec: str):
     """'data=4,seq=2' -> (('data', 'seq'), (4, 2))."""
     names, sizes = [], []
@@ -267,6 +301,13 @@ def run_training(
     sharded over 'data' (and clips over 'seq' — the frame axis), gradients
     psum-reduced over ICI. Numerically identical to the single-device step
     (tests/test_infra.py::TestParallel).
+
+    Preemption-safe: SIGTERM/SIGINT or ``<workdir>/STOP`` (checked every
+    ``log_every`` steps) finish the current step, checkpoint, and return with
+    ``"preempted"`` in the metrics dict; rerunning with ``resume=True``
+    continues bit-deterministically. Periodic checkpoints are written
+    asynchronously (orbax) so saving never stalls the step loop; only the
+    final/preemption save blocks.
     """
     from ..utils.checkpoint import CheckpointManager
 
@@ -319,53 +360,66 @@ def run_training(
             return images, videos
 
     metrics = {}
+    preempted = False
+    stop_path = os.path.join(workdir, "STOP")
     throughput.start()
-    for step in range(start_step, steps):
-        k_step = jax.random.fold_in(key, step)
-        k_img, k_vid, k_train = jax.random.split(k_step, 3)
-        images = _stack_d_batches(img_sampler, k_img, config.d_iters)
-        videos = _stack_d_batches(vid_sampler, k_vid, config.d_iters)
-        if place_batch is not None:
-            images, videos = place_batch(images, videos)
-        state, metrics = step_fn(state, images, videos, k_train)
-        throughput.update()
+    with GracefulStop() as stop:
+        for step in range(start_step, steps):
+            k_step = jax.random.fold_in(key, step)
+            k_img, k_vid, k_train = jax.random.split(k_step, 3)
+            images = _stack_d_batches(img_sampler, k_img, config.d_iters)
+            videos = _stack_d_batches(vid_sampler, k_vid, config.d_iters)
+            if place_batch is not None:
+                images, videos = place_batch(images, videos)
+            state, metrics = step_fn(state, images, videos, k_train)
+            throughput.update()
 
-        if step % config.log_every == 0:
-            # failure detection (SURVEY.md §5.3 — the reference had none): a
-            # non-finite loss means the run is dead; checkpoint the last good
-            # state and stop instead of silently training on NaNs.
-            vals = {k: float(v) for k, v in metrics.items()}
-            if not all(np.isfinite(v) for v in vals.values()):
-                logger.log(step, metrics, extra={"event": "non_finite_loss"})
-                ckpt.save(step, state, wait=True)
-                logger.close()
+            if step % config.log_every == 0:
+                # failure detection (SURVEY.md §5.3 — the reference had none):
+                # a non-finite loss means the run is dead; checkpoint the last
+                # good state and stop instead of silently training on NaNs.
+                vals = {k: float(v) for k, v in metrics.items()}
+                if not all(np.isfinite(v) for v in vals.values()):
+                    logger.log(step, metrics,
+                               extra={"event": "non_finite_loss"})
+                    ckpt.save(step, state, wait=True)
+                    logger.close()
+                    if tb is not None:
+                        tb.close()
+                    raise FloatingPointError(
+                        f"non-finite loss at step {step}: {vals}; "
+                        f"last state checkpointed to {workdir}/checkpoints")
+                logger.log(step, metrics, extra={
+                    "clips_per_sec": throughput.clips_per_sec_per_chip()})
                 if tb is not None:
-                    tb.close()
-                raise FloatingPointError(
-                    f"non-finite loss at step {step}: {vals}; "
-                    f"last state checkpointed to {workdir}/checkpoints")
-            logger.log(step, metrics,
-                       extra={"clips_per_sec": throughput.clips_per_sec_per_chip()})
-            if tb is not None:
-                tb.add_scalars(
-                    {f"train/{k}": v for k, v in vals.items()}
-                    | {"perf/clips_per_sec":
-                       throughput.clips_per_sec_per_chip()}, step)
-                tb.flush()
-        if config.sample_every and step % config.sample_every == 0:
-            _write_samples(trainer, state, os.path.join(
-                workdir, "samples", f"gensamples_id{step}.gif"), config)
-        if config.checkpoint_every and step % config.checkpoint_every == 0:
-            ckpt.save(step, state)
+                    tb.add_scalars(
+                        {f"train/{k}": v for k, v in vals.items()}
+                        | {"perf/clips_per_sec":
+                           throughput.clips_per_sec_per_chip()}, step)
+                    tb.flush()
+            if config.sample_every and step % config.sample_every == 0:
+                _write_samples(trainer, state, os.path.join(
+                    workdir, "samples", f"gensamples_id{step}.gif"), config)
+            if config.checkpoint_every and step % config.checkpoint_every == 0:
+                ckpt.save(step, state)
+            if stop.requested or (step % config.log_every == 0
+                                  and os.path.exists(stop_path)):
+                preempted = True
+                logger.log(step, metrics, extra={"event": "preempted"})
+                break
 
-    ckpt.save(steps, state, wait=True)
+    final_step = int(np.asarray(jax.device_get(state.step)))
+    ckpt.save(final_step, state, wait=True)
     logger.close()
     if tb is not None:
         tb.close()
     for s in (img_sampler, vid_sampler):  # native samplers own C++ threads
         if hasattr(s, "close"):
             s.close()
-    return state, {k: float(v) for k, v in metrics.items()}
+    out = {k: float(v) for k, v in metrics.items()}
+    if preempted:
+        out["preempted"] = float(final_step)
+    return state, out
 
 
 def _write_samples(trainer: GANTrainer, state, path: str,

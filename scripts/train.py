@@ -69,7 +69,11 @@ def main():
     state, metrics = run_training(
         config, workdir, steps=args.steps,
         synthetic=args.synthetic, resume=args.resume)
-    print(f"done at step {int(state.step)}: {metrics}")
+    if "preempted" in metrics:
+        print(f"preempted at step {int(state.step)} (checkpointed); "
+              f"rerun with --resume to continue bit-deterministically")
+    else:
+        print(f"done at step {int(state.step)}: {metrics}")
 
 
 if __name__ == "__main__":
