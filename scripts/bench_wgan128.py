@@ -66,8 +66,10 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     overrides = {"compute_dtype": "bfloat16" if on_tpu else "float32"}
     if args.tiny:
+        # d_iters=1 keeps the one-core CPU smoke compile tractable: the step
+        # graph unrolls d_iters GP double-backwards (5x is a 30+ min compile)
         overrides.update(batch_size=2, video_length=32, ngf=8, ndf=8,
-                         dim_z_content=4, dim_z_motion=4)
+                         dim_z_content=4, dim_z_motion=4, d_iters=1)
     config = get_config("ucf_wgan_gp_128", **overrides)
     trainer = build_trainer(config)
     B, T = config.batch_size, config.video_length
