@@ -337,6 +337,64 @@ def main():
         except Exception as e:  # never let the secondary break the headline
             result["large_batch_error"] = repr(e)[:200]
 
+    # ---- north-star config (secondary): WGAN-GP @ 128x128 / 32 frames ------
+    # The variant the reference documented as untrainable, stabilized here
+    # (BASELINE.md): dopri5 motion, SN critics, gradient penalty, d_iters=5.
+    # Whole-step time + MFU only (the per-phase breakdown lives in
+    # scripts/bench_wgan128.py / DEMO_RESULTS_WGAN128_PERF.json). Guarded like
+    # large_batch: never allowed to break the headline.
+    if on_tpu and compile_s < 1500:
+        try:
+            from ganode_tpu.train.runner import build_trainer
+            from ganode_tpu.utils.config import get_config
+
+            cfg = get_config("ucf_wgan_gp_128", compute_dtype="bfloat16")
+            tr3 = build_trainer(cfg)
+            B3, T3, D3 = cfg.batch_size, cfg.video_length, cfg.d_iters
+            state3 = jax.jit(tr3.init_state)(jax.random.fold_in(key, 1999))
+            images3 = jnp.asarray(
+                rng.uniform(-1, 1, (D3, B3, 128, 128, 3)), jnp.float32)
+            videos3 = jnp.asarray(
+                rng.uniform(-1, 1, (D3, B3, T3, 128, 128, 3)), jnp.float32)
+            step3 = jax.jit(tr3.train_step)
+            t0 = time.time()
+            state3, m3 = step3(state3, images3, videos3,
+                               jax.random.fold_in(key, 3000))
+            float(m3["gen_loss"])
+            ns_compile = time.time() - t0
+
+            def run3(n, offset):
+                s, m = state3, m3
+                for i in range(n):
+                    s, m = step3(s, images3, videos3,
+                                 jax.random.fold_in(key, offset + i))
+                return m
+
+            st3 = _slope_time(run3, lambda m: float(m["gen_loss"]),
+                              n1=2, n2=8)
+            result["north_star"] = {
+                "config": "ucf_wgan_gp_128",
+                "batch_size": B3, "video_length": T3, "d_iters": D3,
+                "step_time_ms": round(st3 * 1000, 2),
+                "clips_per_sec": round(B3 / st3, 1),
+                "compile_s": round(ns_compile, 1),
+            }
+            try:
+                ca3 = step3.lower(state3, images3, videos3,
+                                  jax.random.fold_in(key, 0)) \
+                    .compile().cost_analysis()
+                if isinstance(ca3, (list, tuple)):
+                    ca3 = ca3[0] if ca3 else {}
+                f3 = float(ca3.get("flops", 0))
+                peak = _peak_flops(result["device_kind"])
+                if f3 > 0 and peak:
+                    result["north_star"]["step_tflops"] = round(f3 / 1e12, 2)
+                    result["north_star"]["mfu"] = round(f3 / st3 / peak, 4)
+            except Exception:
+                pass
+        except Exception as e:
+            result["north_star_error"] = repr(e)[:200]
+
     torch_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BASELINE_TORCH.json")
     if os.path.exists(torch_json):
