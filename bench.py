@@ -125,6 +125,10 @@ def main():
                 "output_mb": round(ma.output_size_in_bytes / 2**20, 1),
                 "temp_mb": round(ma.temp_size_in_bytes / 2**20, 1),
             }
+        # reuse the AOT executable for the timed runs: dispatching through the
+        # jit wrapper would compile a second, identical executable (~40 s on
+        # the tunnel) since AOT and jit don't share a cache entry
+        step = compiled
     except Exception:
         pass
     state, metrics = step(state, images, videos, jax.random.fold_in(key, 0))
@@ -303,7 +307,11 @@ def main():
                                   jnp.float32)
             videos2 = jnp.asarray(rng.uniform(-1, 1, (2, B2, T, 64, 64, 3)),
                                   jnp.float32)
-            step2 = jax.jit(tr2.train_step)
+            # compile ONCE via AOT; the executable serves both the timed runs
+            # and cost_analysis (see the headline section's rationale)
+            step2 = jax.jit(tr2.train_step).lower(
+                state2, images2, videos2,
+                jax.random.fold_in(key, 2000)).compile()
             state2, m2 = step2(state2, images2, videos2,
                                jax.random.fold_in(key, 2000))
             float(m2["gen_loss"])
@@ -323,9 +331,7 @@ def main():
                 "clips_per_sec": round(B2 / st2, 1),
             }
             try:
-                ca2 = step2.lower(state2, images2, videos2,
-                                  jax.random.fold_in(key, 0)) \
-                    .compile().cost_analysis()
+                ca2 = step2.cost_analysis()
                 if isinstance(ca2, (list, tuple)):
                     ca2 = ca2[0] if ca2 else {}
                 f2 = float(ca2.get("flops", 0))
@@ -356,12 +362,19 @@ def main():
                 rng.uniform(-1, 1, (D3, B3, 128, 128, 3)), jnp.float32)
             videos3 = jnp.asarray(
                 rng.uniform(-1, 1, (D3, B3, T3, 128, 128, 3)), jnp.float32)
-            step3 = jax.jit(tr3.train_step)
+            # AOT lower+compile ONCE: the compiled executable both serves the
+            # timed runs and answers cost_analysis — a separate
+            # step3.lower().compile() after jit dispatch would build a second
+            # executable of this ~80 s-compile program (AOT does not reuse the
+            # jit dispatch cache entry)
             t0 = time.time()
+            step3 = jax.jit(tr3.train_step).lower(
+                state3, images3, videos3,
+                jax.random.fold_in(key, 3000)).compile()
+            ns_compile = time.time() - t0
             state3, m3 = step3(state3, images3, videos3,
                                jax.random.fold_in(key, 3000))
             float(m3["gen_loss"])
-            ns_compile = time.time() - t0
 
             def run3(n, offset):
                 s, m = state3, m3
@@ -380,9 +393,7 @@ def main():
                 "compile_s": round(ns_compile, 1),
             }
             try:
-                ca3 = step3.lower(state3, images3, videos3,
-                                  jax.random.fold_in(key, 0)) \
-                    .compile().cost_analysis()
+                ca3 = step3.cost_analysis()
                 if isinstance(ca3, (list, tuple)):
                     ca3 = ca3[0] if ca3 else {}
                 f3 = float(ca3.get("flops", 0))

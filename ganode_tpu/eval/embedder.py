@@ -134,8 +134,9 @@ def train_video_embedder(videos: np.ndarray, labels: np.ndarray, *,
     apply = jax.jit(lambda v: jnp.argmax(model.apply({"params": params}, v), -1))
     hits = 0
     for i in range(0, n_eval, batch_size):
-        pred = apply(videos[i:i + batch_size])
-        hits += int(jnp.sum(pred == labels[i:i + batch_size]))
+        stop = min(i + batch_size, n_eval)  # don't count videos beyond n_eval
+        pred = apply(videos[i:stop])
+        hits += int(jnp.sum(pred == labels[i:stop]))
     acc = hits / n_eval
     return (VideoEmbedder(feature_dim=feature_dim), params["embedder"], acc)
 

@@ -316,7 +316,9 @@ def run_training(
     trainer = build_trainer(config)
 
     key = jax.random.PRNGKey(config.seed)
-    state = trainer.init_state(key)
+    # jitted init: eager per-op dispatch over the axon tunnel is ~100x slower
+    # for the full-size state (CLAUDE.md environment rules)
+    state = jax.jit(trainer.init_state)(key)
 
     mesh = None
     if config.mesh:
@@ -363,59 +365,64 @@ def run_training(
     preempted = False
     stop_path = os.path.join(workdir, "STOP")
     throughput.start()
-    with GracefulStop() as stop:
-        for step in range(start_step, steps):
-            k_step = jax.random.fold_in(key, step)
-            k_img, k_vid, k_train = jax.random.split(k_step, 3)
-            images = _stack_d_batches(img_sampler, k_img, config.d_iters)
-            videos = _stack_d_batches(vid_sampler, k_vid, config.d_iters)
-            if place_batch is not None:
-                images, videos = place_batch(images, videos)
-            state, metrics = step_fn(state, images, videos, k_train)
-            throughput.update()
+    try:
+        with GracefulStop() as stop:
+            for step in range(start_step, steps):
+                k_step = jax.random.fold_in(key, step)
+                k_img, k_vid, k_train = jax.random.split(k_step, 3)
+                images = _stack_d_batches(img_sampler, k_img, config.d_iters)
+                videos = _stack_d_batches(vid_sampler, k_vid, config.d_iters)
+                if place_batch is not None:
+                    images, videos = place_batch(images, videos)
+                state, metrics = step_fn(state, images, videos, k_train)
+                throughput.update()
 
-            if step % config.log_every == 0:
-                # failure detection (SURVEY.md §5.3 — the reference had none):
-                # a non-finite loss means the run is dead; checkpoint the last
-                # good state and stop instead of silently training on NaNs.
-                vals = {k: float(v) for k, v in metrics.items()}
-                if not all(np.isfinite(v) for v in vals.values()):
-                    logger.log(step, metrics,
-                               extra={"event": "non_finite_loss"})
-                    ckpt.save(step, state, wait=True)
-                    logger.close()
+                if step % config.log_every == 0:
+                    # failure detection (SURVEY.md §5.3 — the reference had
+                    # none): a non-finite loss means the run is dead;
+                    # checkpoint the last good state and stop instead of
+                    # silently training on NaNs.
+                    vals = {k: float(v) for k, v in metrics.items()}
+                    if not all(np.isfinite(v) for v in vals.values()):
+                        logger.log(step, metrics,
+                                   extra={"event": "non_finite_loss"})
+                        ckpt.save(step, state, wait=True)
+                        raise FloatingPointError(
+                            f"non-finite loss at step {step}: {vals}; "
+                            f"last state checkpointed to {workdir}/checkpoints")
+                    logger.log(step, metrics, extra={
+                        "clips_per_sec": throughput.clips_per_sec_per_chip()})
                     if tb is not None:
-                        tb.close()
-                    raise FloatingPointError(
-                        f"non-finite loss at step {step}: {vals}; "
-                        f"last state checkpointed to {workdir}/checkpoints")
-                logger.log(step, metrics, extra={
-                    "clips_per_sec": throughput.clips_per_sec_per_chip()})
-                if tb is not None:
-                    tb.add_scalars(
-                        {f"train/{k}": v for k, v in vals.items()}
-                        | {"perf/clips_per_sec":
-                           throughput.clips_per_sec_per_chip()}, step)
-                    tb.flush()
-            if config.sample_every and step % config.sample_every == 0:
-                _write_samples(trainer, state, os.path.join(
-                    workdir, "samples", f"gensamples_id{step}.gif"), config)
-            if config.checkpoint_every and step % config.checkpoint_every == 0:
-                ckpt.save(step, state)
-            if stop.requested or (step % config.log_every == 0
-                                  and os.path.exists(stop_path)):
-                preempted = True
-                logger.log(step, metrics, extra={"event": "preempted"})
-                break
+                        tb.add_scalars(
+                            {f"train/{k}": v for k, v in vals.items()}
+                            | {"perf/clips_per_sec":
+                               throughput.clips_per_sec_per_chip()}, step)
+                        tb.flush()
+                if config.sample_every and step % config.sample_every == 0:
+                    _write_samples(trainer, state, os.path.join(
+                        workdir, "samples", f"gensamples_id{step}.gif"), config)
+                if config.checkpoint_every and step % config.checkpoint_every == 0:
+                    ckpt.save(step, state)
+                if stop.requested or (step % config.log_every == 0
+                                      and os.path.exists(stop_path)):
+                    preempted = True
+                    logger.log(step, metrics, extra={"event": "preempted"})
+                    if os.path.exists(stop_path):
+                        os.remove(stop_path)  # honored; let --resume continue
+                    break
 
-    final_step = int(np.asarray(jax.device_get(state.step)))
-    ckpt.save(final_step, state, wait=True)
-    logger.close()
-    if tb is not None:
-        tb.close()
-    for s in (img_sampler, vid_sampler):  # native samplers own C++ threads
-        if hasattr(s, "close"):
-            s.close()
+        final_step = int(np.asarray(jax.device_get(state.step)))
+        ckpt.save(final_step, state, wait=True)
+    finally:
+        # runs on the non-finite-loss raise too: without it a caller that
+        # catches the error and relaunches in-process would leak the native
+        # samplers' C++ prefetch threads and mmap (both closes are idempotent)
+        logger.close()
+        if tb is not None:
+            tb.close()
+        for s in (img_sampler, vid_sampler):  # native samplers own C++ threads
+            if hasattr(s, "close"):
+                s.close()
     out = {k: float(v) for k, v in metrics.items()}
     if preempted:
         out["preempted"] = float(final_step)

@@ -135,5 +135,6 @@ class EventWriter:
         self._f.flush()
 
     def close(self) -> None:
-        self._f.flush()
-        self._f.close()
+        if not self._f.closed:
+            self._f.flush()
+            self._f.close()

@@ -280,6 +280,7 @@ def main():
         if stopped_early:
             print(f"STOP file found — ending at step {i} with artifacts "
                   "intact", flush=True)
+            os.remove(stop_file)  # honored; a later --resume must continue
             break
 
     if args.save_checkpoint:
@@ -320,11 +321,10 @@ def main():
         summary["trunk_ode_nfe_per_forward"] = per_block * 4
     if "is_mean" in history[0]:
         summary["is_best"] = max(r["is_mean"] for r in history)
-    if args.data is not None:
-        summary["data"] = args.data
-    if "is_mean" in history[0]:
         summary["is_first"] = history[0]["is_mean"]
         summary["is_last"] = history[-1]["is_mean"]
+    if args.data is not None:
+        summary["data"] = args.data
     with open(os.path.join(args.workdir, "history.json"), "w") as f:
         json.dump(summary, f, indent=2)
     if args.out_json:

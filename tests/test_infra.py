@@ -392,6 +392,14 @@ class TestRunner:
                                       synthetic=True, jit=False)
         assert metrics["preempted"] == 1.0
         assert int(state.step) == 1
+        # the STOP file was honored and consumed: a resumed run must CONTINUE
+        # (an un-deleted STOP would re-preempt every resume at its first log
+        # boundary, capping progress at log_every steps per process launch)
+        assert not (wd / "STOP").exists()
+        resumed, m2 = run_training(self._tiny_config(), str(wd), steps=3,
+                                   synthetic=True, resume=True, jit=False)
+        assert "preempted" not in m2
+        assert int(resumed.step) == 3
 
     def test_missing_dataset_raises(self, tmp_path):
         from ganode_tpu.train.runner import build_data
