@@ -56,7 +56,9 @@ def main():
         p.error(f"--set {e}")
     config = get_config(args.config, **overrides)
     trainer = build_trainer(config)
-    state = trainer.init_state(jax.random.PRNGKey(config.seed))
+    # jitted: eager full-size init dispatches thousands of tiny remote ops
+    # over the axon tunnel (~100x slower; CLAUDE.md environment rules)
+    state = jax.jit(trainer.init_state)(jax.random.PRNGKey(config.seed))
     mgr = CheckpointManager(os.path.join(args.workdir, "checkpoints"))
     if mgr.latest_step() is not None:
         state = mgr.restore(state)
