@@ -245,13 +245,19 @@ def main():
     t0 = time.time()
     stop_file = os.path.join(args.workdir, "STOP")
     stopped_early = False
+    # graceful preemption: SIGTERM (e.g. `timeout`'s signal on a bounded run)
+    # is absorbed as a stop request, same contract as train/runner.py — the
+    # loop finishes the in-flight step, evals, writes the summary and (with
+    # --save-checkpoint) the checkpoint, then exits 0. Killing a TPU process
+    # mid-run wedges the chip for ~30-45 min (CLAUDE.md).
+    import signal
+    sigterm_seen = []
+    signal.signal(signal.SIGTERM, lambda *_: sigterm_seen.append(True))
     for i in range(start_step, args.steps):
         state, metrics = step(state, videos, jax.random.fold_in(key, i))
-        # graceful early stop: `touch <workdir>/STOP` ends the run at the next
-        # eval boundary WITH summary + checkpoint intact — killing a TPU
-        # process mid-run wedges the chip for ~30-45 min (CLAUDE.md), so long
-        # runs must be stoppable without SIGKILL
-        if i % 50 == 0 and os.path.exists(stop_file):
+        # graceful early stop: `touch <workdir>/STOP` (or SIGTERM) ends the
+        # run at the next 50-step boundary WITH summary + checkpoint intact
+        if i % 50 == 0 and (os.path.exists(stop_file) or sigterm_seen):
             stopped_early = True
         if (i % args.eval_every == 0 or i == args.steps - 1
                 or (stopped_early and i % 50 == 0)):
@@ -278,9 +284,11 @@ def main():
                 os.path.join(args.workdir, f"samples_{i:05d}.gif"),
                 fakes[:16], n=4)
         if stopped_early:
-            print(f"STOP file found — ending at step {i} with artifacts "
-                  "intact", flush=True)
-            os.remove(stop_file)  # honored; a later --resume must continue
+            why = "SIGTERM" if sigterm_seen else "STOP file"
+            print(f"{why} — ending at step {i} with artifacts intact",
+                  flush=True)
+            if os.path.exists(stop_file):
+                os.remove(stop_file)  # honored; a later --resume continues
             break
 
     if args.save_checkpoint:
