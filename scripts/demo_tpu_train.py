@@ -241,6 +241,16 @@ def main():
             outs.append(np.asarray(v))
         return np.concatenate(outs)
 
+    mgr = None
+    if args.save_checkpoint:
+        # opened up front so long runs can checkpoint at every eval boundary
+        # (async) — a host restart mid-run then costs at most --eval-every
+        # steps instead of the whole run (the keyed stream makes --resume
+        # replay the identical schedule either way)
+        from ganode_tpu.utils.checkpoint import CheckpointManager
+        mgr = CheckpointManager(os.path.join(args.workdir, "checkpoints"),
+                                max_to_keep=2)
+
     history = []
     t0 = time.time()
     stop_file = os.path.join(args.workdir, "STOP")
@@ -283,6 +293,8 @@ def main():
             save_sample_grid(
                 os.path.join(args.workdir, f"samples_{i:05d}.gif"),
                 fakes[:16], n=4)
+            if mgr is not None:
+                mgr.save(int(state.step), state)  # async; bounded loss on crash
         if stopped_early:
             why = "SIGTERM" if sigterm_seen else "STOP file"
             print(f"{why} — ending at step {i} with artifacts intact",
@@ -291,9 +303,7 @@ def main():
                 os.remove(stop_file)  # honored; a later --resume continues
             break
 
-    if args.save_checkpoint:
-        from ganode_tpu.utils.checkpoint import CheckpointManager
-        mgr = CheckpointManager(os.path.join(args.workdir, "checkpoints"))
+    if mgr is not None:
         mgr.save(int(state.step), state, wait=True)
         mgr.close()
         print(f"checkpoint saved at step {int(state.step)}", flush=True)
