@@ -109,6 +109,12 @@ def main():
     try:
         compiled = step.lower(state, images, videos,
                               jax.random.fold_in(key, 0)).compile()
+        # reuse the AOT executable for the timed runs: dispatching through the
+        # jit wrapper would compile a second, identical executable (~40 s on
+        # the tunnel) since AOT and jit don't share a cache entry. Assigned
+        # FIRST so a cost/memory-analysis failure below (jax-version
+        # dependent) can't silently forfeit the reuse.
+        step = compiled
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
@@ -125,10 +131,6 @@ def main():
                 "output_mb": round(ma.output_size_in_bytes / 2**20, 1),
                 "temp_mb": round(ma.temp_size_in_bytes / 2**20, 1),
             }
-        # reuse the AOT executable for the timed runs: dispatching through the
-        # jit wrapper would compile a second, identical executable (~40 s on
-        # the tunnel) since AOT and jit don't share a cache entry
-        step = compiled
     except Exception:
         pass
     state, metrics = step(state, images, videos, jax.random.fold_in(key, 0))

@@ -152,10 +152,20 @@ def read_video_with_info(path: str, start: int = 0,
     video = read_video(path, start, end)
     pts, fps = read_video_timestamps(path)
     stop = start + video.shape[0]
+    frame_pts = pts[start:stop]
+    if frame_pts.shape[0] != video.shape[0] or (
+            frame_pts.size > 1 and np.all(frame_pts[1:] == 0.0)):
+        # keep the documented one-pts-per-returned-frame contract even when
+        # the demux pass (grab) and the decode pass (read) disagree on frame
+        # count (corrupt tail), or when the container doesn't support
+        # POS_MSEC (all-zero pts): degrade to frame-index/fps timestamps
+        # instead of returning a misaligned or degenerate array
+        step = 1.0 / fps if fps > 0 else 1.0
+        frame_pts = (start + np.arange(video.shape[0], dtype=np.float64)) * step
     info = {
         "video_fps": fps,
         "audio_fps": None,
-        "pts": pts[start:stop],
+        "pts": frame_pts,
     }
     return video, np.zeros((0, 0), np.float32), info
 

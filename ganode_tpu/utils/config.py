@@ -231,7 +231,18 @@ def overrides_from_strings(items) -> dict:
                 f"{sorted(fields)}")
         ftype = str(fields[name].type)
         if ftype == "bool":
-            out[name] = raw.lower() in ("1", "true", "yes")
+            low = raw.lower()
+            if low in ("1", "true", "yes"):
+                out[name] = True
+            elif low in ("0", "false", "no"):
+                out[name] = False
+            else:
+                # reject rather than coerce: a typo like 'ture' or an
+                # unsupported spelling like 'on' must not silently flip the
+                # flag off (the run would then record the wrong config)
+                raise ValueError(
+                    f"{item!r}: boolean field {name} takes "
+                    "1/true/yes or 0/false/no")
         elif ftype == "int":
             out[name] = int(raw)
         elif ftype == "float":
@@ -249,5 +260,11 @@ def overrides_from_strings(items) -> dict:
         elif "str" in ftype:
             out[name] = raw
         else:  # Optional[int] / Optional[float]
-            out[name] = float(raw) if "." in raw else int(raw)
+            # int when the literal is integral, else float — accepting
+            # scientific notation ('1e-3', the spelling sde_dt's own
+            # docstring uses), which a '.'-sniff would reject
+            try:
+                out[name] = int(raw)
+            except ValueError:
+                out[name] = float(raw)
     return out

@@ -115,7 +115,7 @@ def main():
         VideoEmbedder, embed_videos, fvd, inception_score, load_params,
         save_params, train_classifier, train_video_embedder)
     from ganode_tpu.train.runner import (
-        build_trainer, make_device_data_step, synthetic_rotmnist)
+        GracefulStop, build_trainer, make_device_data_step, synthetic_rotmnist)
     from ganode_tpu.utils.config import get_config, overrides_from_strings
     from ganode_tpu.utils.gifs import save_sample_grid
 
@@ -226,9 +226,11 @@ def main():
     else:
         embedder = VideoEmbedder(feature_dim=64)
         emb_params = embedder.init(jax.random.PRNGKey(7), videos[:1])["params"]
-    # embedding batch sized to the clip footprint (64 videos of 128x128x32 are
-    # ~3.2 GB of input; halve alongside the HBM-resident dataset)
-    emb_bs = 32 if videos_np[0].nbytes > 2**24 else 64
+    # embedding batch sized to the clip footprint: a 128x128x32 f32 clip is
+    # ~6 MB, so batch 64 stages ~400 MB of input next to the HBM-resident
+    # dataset — halve it for such clips (threshold 4 MB; the 64px clips are
+    # well under at <1 MB, so only the 128px configs take the smaller batch)
+    emb_bs = 32 if videos_np[0].nbytes > 2**22 else 64
     feats_real = embed_videos(embedder, emb_params, videos_np[:256], emb_bs)
 
     def sample_fakes(state, n, seed):
@@ -255,58 +257,59 @@ def main():
     t0 = time.time()
     stop_file = os.path.join(args.workdir, "STOP")
     stopped_early = False
-    # graceful preemption: SIGTERM (e.g. `timeout`'s signal on a bounded run)
-    # is absorbed as a stop request, same contract as train/runner.py — the
-    # loop finishes the in-flight step, evals, writes the summary and (with
-    # --save-checkpoint) the checkpoint, then exits 0. Killing a TPU process
-    # mid-run wedges the chip for ~30-45 min (CLAUDE.md).
-    import signal
-    sigterm_seen = []
-    signal.signal(signal.SIGTERM, lambda *_: sigterm_seen.append(True))
-    for i in range(start_step, args.steps):
-        state, metrics = step(state, videos, jax.random.fold_in(key, i))
-        # graceful early stop: `touch <workdir>/STOP` (or SIGTERM) ends the
-        # run at the next 50-step boundary WITH summary + checkpoint intact
-        if i % 50 == 0 and (os.path.exists(stop_file) or sigterm_seen):
-            stopped_early = True
-        if (i % args.eval_every == 0 or i == args.steps - 1
-                or (stopped_early and i % 50 == 0)):
-            m = {k: float(v) for k, v in metrics.items()}  # host sync
-            fakes = sample_fakes(state, 256, 10_000 + i)
-            value = fvd(feats_real,
-                        embed_videos(embedder, emb_params, fakes, emb_bs))
-            rec = {"step": i, **{k: round(v, 4) for k, v in m.items()},
-                   "fvd": round(value, 4),
-                   "elapsed_s": round(time.time() - t0, 1)}
-            if cls_apply is not None:
-                # random frame per video (matches the real-frame draw and the
-                # reference's image path; frame 0 biases toward warm-up state)
-                fix = np.random.RandomState(i).randint(
-                    0, fakes.shape[1], len(fakes))
-                probs = np.asarray(cls_apply(
-                    jnp.asarray(fakes[np.arange(len(fakes)), fix])))
-                is_mean, is_std = inception_score(probs)
-                rec["is_mean"] = round(is_mean, 4)
-                rec["is_std"] = round(is_std, 4)
-            history.append(rec)
-            print(json.dumps(rec), flush=True)
-            save_sample_grid(
-                os.path.join(args.workdir, f"samples_{i:05d}.gif"),
-                fakes[:16], n=4)
-            if mgr is not None:
-                mgr.save(int(state.step), state)  # async; bounded loss on crash
-        if stopped_early:
-            why = "SIGTERM" if sigterm_seen else "STOP file"
-            print(f"{why} — ending at step {i} with artifacts intact",
-                  flush=True)
-            if os.path.exists(stop_file):
-                os.remove(stop_file)  # honored; a later --resume continues
-            break
+    # graceful preemption: SIGTERM/SIGINT (e.g. `timeout`'s signal on a
+    # bounded run) is absorbed as a stop request via the runner's
+    # GracefulStop — the loop finishes the in-flight step, evals, writes the
+    # summary and (with --save-checkpoint) the checkpoint, then exits 0.
+    # Killing a TPU process mid-run wedges the chip for ~30-45 min (CLAUDE.md).
+    with GracefulStop() as stopper:
+        for i in range(start_step, args.steps):
+            state, metrics = step(state, videos, jax.random.fold_in(key, i))
+            # graceful early stop: `touch <workdir>/STOP` (or a signal) ends
+            # the run at the next 50-step boundary WITH summary + checkpoint
+            if i % 50 == 0 and (os.path.exists(stop_file) or stopper.requested):
+                stopped_early = True
+            if (i % args.eval_every == 0 or i == args.steps - 1
+                    or (stopped_early and i % 50 == 0)):
+                m = {k: float(v) for k, v in metrics.items()}  # host sync
+                fakes = sample_fakes(state, 256, 10_000 + i)
+                value = fvd(feats_real,
+                            embed_videos(embedder, emb_params, fakes, emb_bs))
+                rec = {"step": i, **{k: round(v, 4) for k, v in m.items()},
+                       "fvd": round(value, 4),
+                       "elapsed_s": round(time.time() - t0, 1)}
+                if cls_apply is not None:
+                    # random frame per video (matches the real-frame draw and
+                    # the reference's image path; frame 0 biases toward the
+                    # warm-up state)
+                    fix = np.random.RandomState(i).randint(
+                        0, fakes.shape[1], len(fakes))
+                    probs = np.asarray(cls_apply(
+                        jnp.asarray(fakes[np.arange(len(fakes)), fix])))
+                    is_mean, is_std = inception_score(probs)
+                    rec["is_mean"] = round(is_mean, 4)
+                    rec["is_std"] = round(is_std, 4)
+                history.append(rec)
+                print(json.dumps(rec), flush=True)
+                save_sample_grid(
+                    os.path.join(args.workdir, f"samples_{i:05d}.gif"),
+                    fakes[:16], n=4)
+                if mgr is not None:
+                    mgr.save(int(state.step), state)  # async; bounded crash loss
+            if stopped_early:
+                why = "signal" if stopper.requested else "STOP file"
+                print(f"{why} — ending at step {i} with artifacts intact",
+                      flush=True)
+                if os.path.exists(stop_file):
+                    os.remove(stop_file)  # honored; a later --resume continues
+                break
 
-    if mgr is not None:
-        mgr.save(int(state.step), state, wait=True)
-        mgr.close()
-        print(f"checkpoint saved at step {int(state.step)}", flush=True)
+        # final save still inside the stop scope: a second Ctrl-C here must
+        # not interrupt the checkpoint write
+        if mgr is not None:
+            mgr.save(int(state.step), state, wait=True)
+            mgr.close()
+            print(f"checkpoint saved at step {int(state.step)}", flush=True)
 
     losses = [abs(r[k]) for r in history
               for k in ("dis_img_loss", "dis_vid_loss", "gen_loss")]

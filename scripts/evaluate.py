@@ -121,6 +121,13 @@ def main():
 
     assets = os.path.join(args.assets_dir, config.dataset)
     n_classes = int(real_labels.max()) + 1
+    if config.dataset == "rotmnist":
+        # pin to the full 10 digit classes (same scheme as demo_tpu_train.py)
+        # so digit-filtered configs (mnist_ode_wgan/noise, 3s-only) read the
+        # SAME persisted classifier_c10/embedder_c10 assets as full-set runs —
+        # otherwise a filtered run would key (and train) classifier_c4.msgpack
+        # and its FVD/IS would not be comparable across configs
+        n_classes = 10
     # ucf101 feature-model params depend on frame size (Dense after flatten):
     # encode it so 64px and 128px configs keep separate persisted assets
     sz = f"_s{real_frames.shape[1]}" if config.dataset == "ucf101" else ""

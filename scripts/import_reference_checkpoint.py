@@ -14,8 +14,10 @@ by executed-reference golden tests) and writes a normal orbax checkpoint under
     python scripts/generate.py --config mnist_ode --workdir runs/imported ...
     python scripts/train.py    --config mnist_ode --workdir runs/imported --resume ...
 
-Reference optimizer moments are not imported (fine-tuning restarts Adam); the
-step counter is taken from the reference 'epoch' (== G-steps).
+Reference torch-Adam moments (exp_avg / exp_avg_sq) ARE imported when the
+checkpoint carries them, so fine-tuning continues with the reference's
+optimizer statistics; pass --fresh-optimizer to restart Adam from zeros
+instead. The step counter is taken from the reference 'epoch' (== G-steps).
 """
 import argparse
 import os
@@ -37,6 +39,9 @@ def main():
                    metavar="FIELD=VALUE",
                    help="config overrides, e.g. --set ngf=64 --set ndf=64 "
                         "(must match the reference model's sizes)")
+    p.add_argument("--fresh-optimizer", action="store_true",
+                   help="skip the torch Adam moments; fine-tuning then "
+                        "restarts Adam from zero-initialized moments")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -61,7 +66,8 @@ def main():
     ckpt = load_reference_checkpoint(args.ckpt)
     trainer = build_trainer(config)
     state = jax.jit(trainer.init_state)(jax.random.PRNGKey(config.seed))
-    state = import_gan_state(ckpt, state, config)
+    state = import_gan_state(ckpt, state, config,
+                             import_optimizer=not args.fresh_optimizer)
 
     mgr = CheckpointManager(os.path.join(args.workdir, "checkpoints"))
     mgr.save(int(state.step), state, wait=True)

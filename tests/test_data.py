@@ -440,6 +440,21 @@ class TestVideoInfo:
         assert info["pts"].shape == (10,)
         np.testing.assert_allclose(info["pts"][0], 2 * 0.04, atol=1e-3)
 
+    def test_read_video_with_info_pts_fallback(self, avi, monkeypatch):
+        """Misaligned (demux != decode count) or degenerate (POS_MSEC
+        unsupported → all-zero) timestamp scans degrade to index/fps pts so
+        the one-pts-per-returned-frame contract always holds."""
+        from ganode_tpu.data import read_video_with_info
+        from ganode_tpu.data import video as video_mod
+
+        monkeypatch.setattr(  # corrupt tail: demux saw fewer frames
+            video_mod, "read_video_timestamps",
+            lambda path: (np.zeros(3, np.float64), 25.0))
+        video, _, info = read_video_with_info(avi, start=2, end=11)
+        assert info["pts"].shape == (video.shape[0],)
+        np.testing.assert_allclose(info["pts"],
+                                   (2 + np.arange(10)) * 0.04, atol=1e-6)
+
 
 class TestFrameFolder:
     @pytest.fixture()

@@ -96,12 +96,19 @@ class TestConfig:
             "mesh": "data=4,seq=2",
         }
         assert overrides_from_strings(["digits=none"]) == {"digits": None}
+        # scientific notation on Optional numeric fields (sde_dt's own
+        # docstring spells its default 2.5e-2)
+        assert overrides_from_strings(["sde_dt=1e-3"]) == {"sde_dt": 1e-3}
+        assert overrides_from_strings(["tensorboard=0"]) == {"tensorboard": False}
         c = get_config("mnist_ode", **out)
         assert c.ngf == 8 and c.betas == (0.0, 0.9)
         with pytest.raises(ValueError):
             overrides_from_strings(["nosuchfield=1"])
         with pytest.raises(ValueError):
             overrides_from_strings(["ngf8"])
+        with pytest.raises(ValueError):
+            # a typo'd bool must error, not silently parse as False
+            overrides_from_strings(["tensorboard=ture"])
 
 
 class TestGifs:
