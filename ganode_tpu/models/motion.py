@@ -142,7 +142,12 @@ def _get_params(parent: nn.Module, child_name: str):
 
 class MotionSDE(nn.Module):
     """Neural-SDE motion: Ito diagonal noise, Euler-Maruyama with dt=2.5e-2 —
-    40 internal steps per unit time (reference models/mocogan_sde.py:6-62)."""
+    40 internal steps per unit time (reference models/mocogan_sde.py:6-62).
+
+    ``method`` selects the stepper: 'euler' (reference parity), 'milstein',
+    'reversible_heun' (higher weak accuracy at the same per-step cost), or
+    'reversible_heun_adjoint' (same scheme with the O(1)-memory
+    trajectory-exact backward pass of arXiv:2105.13493)."""
 
     dim: int
     dim_hidden: int | None = None
@@ -166,11 +171,27 @@ class MotionSDE(nn.Module):
         ts = np.linspace(0.0, 1.0, video_len)
         params = {"f": _get_params(self, "drift_fn"),
                   "g": _get_params(self, "diffusion_fn")}
-        zs = ode.sdeint(
-            lambda t, y, p: drift.apply({"params": p["f"]}, y),
-            lambda t, y, p: diffusion.apply({"params": p["g"]}, y),
-            x, ts, k_path, params, dt=self.dt, method=self.method,
-        )
+        # UNBOUND twins for the solver's vector fields: the bound `drift`/
+        # `diffusion` instances hold the live compact scope (traced params),
+        # and a custom_vjp backward pass (reversible_heun_adjoint) re-invokes
+        # these callables in a different trace, where captured scope tracers
+        # cannot be lowered; parent=None makes .apply a pure function of the
+        # explicit params pytree
+        drift_pure = MLP((h, self.dim), activation=jnp.tanh, parent=None)
+        diffusion_pure = MLP((h, self.dim), activation=jnp.tanh, parent=None)
+        f_fn = lambda t, y, p: drift_pure.apply({"params": p["f"]}, y)       # noqa: E731
+        g_fn = lambda t, y, p: diffusion_pure.apply({"params": p["g"]}, y)   # noqa: E731
+        if self.method == "reversible_heun_adjoint":
+            # O(1)-memory trajectory-exact adjoint (ode.sde docstring;
+            # arXiv:2105.13493) — config-reachable via
+            # --set motion_method=reversible_heun_adjoint
+            zs = ode.sdeint_reversible_adjoint(
+                f_fn, g_fn, x, ts, k_path, params, dt=self.dt)
+        else:
+            zs = ode.sdeint(
+                f_fn, g_fn, x, ts, k_path, params, dt=self.dt,
+                method=self.method,
+            )
         return jnp.transpose(zs, (1, 0, 2))
 
 

@@ -5,7 +5,7 @@ over pytree state with checkpointed or continuous-adjoint backprop.
 from .adaptive import odeint_adaptive, odeint_adaptive_adjoint
 from .adjoint import odeint_backsolve
 from .cde import cdeint
-from .sde import sdeint
+from .sde import sdeint, sdeint_reversible_adjoint
 from .solve import SolveStats, nfe_fixed_grid, odeint, odeint_final
 from .spline import (
     CubicSpline,
@@ -28,4 +28,5 @@ __all__ = [
     "odeint_backsolve",
     "odeint_final",
     "sdeint",
+    "sdeint_reversible_adjoint",
 ]

@@ -39,9 +39,10 @@ class ExperimentConfig:
     # conv/deconv compute dtype: 'float32' | 'bfloat16' (params stay f32)
     compute_dtype: str = "float32"
     # Motion solver method. Per variant: ode = any fixed-grid method or
-    # 'dopri5' (adaptive); sde = 'euler' | 'milstein'; cde/ode_rnn = any
-    # fixed-grid method. None keeps the variant's reference default
-    # (rk4 / euler / rk4 / rk4).
+    # 'dopri5' (adaptive); sde = 'euler' | 'milstein' | 'reversible_heun' |
+    # 'reversible_heun_adjoint' (O(1)-memory exact adjoint, arXiv:2105.13493);
+    # cde/ode_rnn = any fixed-grid method. None keeps the variant's reference
+    # default (rk4 / euler / rk4 / rk4).
     motion_method: Optional[str] = None
     # SDE max internal step (reference models/mocogan_sde.py:59 dt=2.5e-2);
     # None keeps the default.

@@ -306,6 +306,116 @@ class TestSDE:
         np.testing.assert_allclose(np.asarray(ys[-1]), expected, rtol=1e-5)
 
 
+class TestReversibleHeun:
+    """Reversible Heun (arXiv:2105.13493): same per-step cost as
+    Euler-Maruyama, algebraically invertible pair update, O(1)-memory exact
+    adjoint via sdeint_reversible_adjoint."""
+
+    def test_deterministic_limit_is_second_order(self):
+        # zero diffusion -> the scheme reduces to a two-step trapezoidal
+        # (Heun-class) method: errors on y'=-y shrink ~4x when h halves,
+        # and at dt=1/64 the solution is far more accurate than Euler's
+        y0 = jnp.array([1.0])
+        ts = jnp.linspace(0.0, 1.0, 5)
+        key = jax.random.PRNGKey(0)
+        zero_g = lambda t, y: jnp.zeros_like(y)
+        sol = float(np.exp(-1.0))
+        errs = []
+        for dt in (1.0 / 16, 1.0 / 32, 1.0 / 64):
+            ys = sdeint(lambda t, y: -y, zero_g, y0, ts, key, dt=dt,
+                        method="reversible_heun")
+            errs.append(abs(float(ys[-1, 0]) - sol))
+        assert errs[0] / errs[1] > 3.0 and errs[1] / errs[2] > 3.0
+        ys_e = sdeint(lambda t, y: -y, zero_g, y0, ts, key, dt=1.0 / 64)
+        assert errs[2] < abs(float(ys_e[-1, 0]) - sol) / 50
+
+    def test_additive_noise_is_pathwise_exact(self):
+        # dX = sigma dW has X_t = X0 + sigma W_t; with constant diffusion the
+        # pair update telescopes to exactly that partial sum per path
+        sigma, n = 0.7, 64
+        y0 = jnp.zeros((n,))
+        ts = jnp.linspace(0.0, 1.0, 9)
+        key = jax.random.PRNGKey(5)
+        spi = 4
+        ys = sdeint(lambda t, y: jnp.zeros_like(y),
+                    lambda t, y: sigma * jnp.ones_like(y),
+                    y0, ts, key, dt=(1.0 / 8) / spi, method="reversible_heun")
+        h = (1.0 / 8) / spi
+        W = np.zeros(n)
+        for k in range(8 * spi):
+            kk = jax.random.split(jax.random.fold_in(key, k), 1)[0]
+            W += np.sqrt(h) * np.asarray(jax.random.normal(kk, (n,)))
+        np.testing.assert_allclose(np.asarray(ys[-1]), sigma * W, rtol=1e-9)
+
+    def test_ou_process_moments(self):
+        theta, sigma, x0, t1 = 1.5, 0.8, 2.0, 1.0
+        n = 4096
+        y0 = jnp.full((n,), x0)
+        ts = jnp.linspace(0.0, t1, 11)
+        ys = sdeint(lambda t, y: -theta * y,
+                    lambda t, y: sigma * jnp.ones_like(y),
+                    y0, ts, jax.random.PRNGKey(42), dt=5e-3,
+                    method="reversible_heun")
+        xT = np.asarray(ys[-1])
+        mean_exp = x0 * np.exp(-theta * t1)
+        var_exp = sigma ** 2 / (2 * theta) * (1 - np.exp(-2 * theta * t1))
+        assert abs(xT.mean() - mean_exp) < 4 * np.sqrt(var_exp / n) + 5e-3
+        assert abs(xT.var() - var_exp) / var_exp < 0.1
+
+    def test_adjoint_matches_autodiff(self):
+        """The reconstructing backward pass returns the same gradients as
+        backprop through the forward scan — in y0 AND in the vector-field
+        params, with cotangents arriving at every output time."""
+        from ganode_tpu.ode import sdeint_reversible_adjoint
+
+        A = jnp.asarray(np.random.RandomState(0).randn(3, 3) * 0.4)
+        B = jnp.asarray(np.random.RandomState(1).randn(3, 3) * 0.3)
+        args = {"A": A, "B": B, "b": jnp.array([0.1, -0.2, 0.3])}
+        y0 = jnp.asarray(np.random.RandomState(2).randn(5, 3))
+        ts = np.linspace(0.0, 1.0, 5)
+        key = jax.random.PRNGKey(11)
+        drift = lambda t, y, p: jnp.tanh(y @ p["A"] + p["b"])
+        diffusion = lambda t, y, p: 0.1 * jnp.tanh(y @ p["B"])
+        w = jnp.linspace(0.5, 1.5, 5)[:, None, None]  # weight EVERY output
+
+        def loss_adj(y0, p):
+            ys = sdeint_reversible_adjoint(drift, diffusion, y0, ts, key, p,
+                                           dt=0.1)
+            return jnp.sum(w * ys ** 2)
+
+        def loss_scan(y0, p):
+            ys = sdeint(drift, diffusion, y0, ts, key, p, dt=0.1,
+                        method="reversible_heun")
+            return jnp.sum(w * ys ** 2)
+
+        la, (ga, pa) = jax.value_and_grad(loss_adj, argnums=(0, 1))(y0, args)
+        ls, (gs, ps) = jax.value_and_grad(loss_scan, argnums=(0, 1))(y0, args)
+        np.testing.assert_allclose(float(la), float(ls), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gs),
+                                   rtol=1e-6, atol=1e-10)
+        for k in args:
+            np.testing.assert_allclose(np.asarray(pa[k]), np.asarray(ps[k]),
+                                       rtol=1e-6, atol=1e-10)
+        # and the whole thing jits (scan-of-scan forward, custom_vjp backward)
+        gj = jax.jit(jax.grad(loss_adj))(y0, args)
+        np.testing.assert_allclose(np.asarray(gj), np.asarray(ga),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_stats_one_drift_one_diffusion_eval_per_substep(self):
+        from ganode_tpu.ode import sdeint_reversible_adjoint
+
+        _, stats = sdeint(lambda t, y: -y, lambda t, y: 0.1 * jnp.ones_like(y),
+                          jnp.ones(2), jnp.linspace(0, 1, 16),
+                          jax.random.PRNGKey(1), dt=2.5e-2,
+                          method="reversible_heun", return_stats=True)
+        assert stats.n_steps == 45 and stats.nfe == 2 * 46
+        _, stats = sdeint_reversible_adjoint(
+            lambda t, y: -y, lambda t, y: 0.1 * jnp.ones_like(y),
+            jnp.ones(2), jnp.linspace(0, 1, 16), jax.random.PRNGKey(1),
+            dt=2.5e-2, return_stats=True)
+        assert stats.n_steps == 45 and stats.nfe == 2 * 46
+
+
 class TestSpline:
     def test_hermite_interpolates_knots(self):
         key = jax.random.PRNGKey(0)
