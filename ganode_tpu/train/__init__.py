@@ -1,5 +1,6 @@
 """Training engines: the jitted alternating-Adam GAN loop and the functional
 ODE-GAN (optimizer-as-ODE) trainer."""
+from .diffaug import diff_augment, parse_policy, translate2d
 from .gan import GANTrainer, reference_adam
 from .losses import (
     LOSSES,
@@ -11,6 +12,7 @@ from .losses import (
     g_loss_hinge,
     g_loss_wasserstein,
     gradient_penalty,
+    r1_penalty,
 )
 from .odegan import (
     ODEGANTrainer,
@@ -32,6 +34,7 @@ __all__ = [
     "d_loss_bce",
     "d_loss_hinge",
     "d_loss_wasserstein",
+    "diff_augment",
     "discriminator_regularizer",
     "euler_step",
     "g_loss_bce",
@@ -39,7 +42,10 @@ __all__ = [
     "g_loss_wasserstein",
     "gradient_penalty",
     "make_mocogan_losses",
+    "parse_policy",
+    "r1_penalty",
     "rk2_step",
     "rk4_step",
     "reference_adam",
+    "translate2d",
 ]

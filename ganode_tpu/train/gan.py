@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import optax
 from flax import linen as nn
 
-from .losses import LOSSES, gradient_penalty
+from .diffaug import diff_augment, parse_policy
+from .losses import LOSSES, gradient_penalty, r1_penalty
 from .state import GANState, NetState
 
 
@@ -73,6 +74,10 @@ class GANTrainer:
     weight_decay: float = 1e-5
     param_noise_sigma: float = 0.0
     gp_weight: float = 0.0
+    # R1 zero-centered gradient penalty on real samples (Mescheder et al.
+    # 2018; losses.r1_penalty). 0 = off. Pairs with bce/hinge, where WGAN-GP's
+    # unit-norm target is the wrong fixed point.
+    r1_weight: float = 0.0
     # EMA of generator params (0 = off). Sampling helpers prefer the EMA
     # weights in eval mode; the raw params keep training unchanged.
     ema_decay: float = 0.0
@@ -85,12 +90,20 @@ class GANTrainer:
     # spectral-norm power iteration advances once per loss instead of twice.
     # Default False = reference semantics.
     fused_real_fake: bool = False
+    # DiffAugment policy (arXiv:2006.10738), e.g. "color,translation,cutout":
+    # every discriminator input — real and fake, D and G updates alike — passes
+    # through the same keyed differentiable transform, so D cannot overfit the
+    # finite real set and the augmentation gradient reaches G. Draws are
+    # per-clip (shared across frames). "" = off (reference semantics: the
+    # reference never augments D inputs). See train/diffaug.py.
+    diffaug: str = ""
 
     def __post_init__(self):
         if self.loss not in LOSSES:
             raise ValueError(f"unknown loss {self.loss!r}; choose from {sorted(LOSSES)}")
         self.d_loss_fn, self.g_loss_fn = LOSSES[self.loss]
         self.tx = reference_adam(self.lr, *self.betas, self.weight_decay)
+        self._diffaug_ops = parse_policy(self.diffaug)  # validates eagerly
 
     # ----------------------------------------------------------- state utils
     @staticmethod
@@ -178,6 +191,15 @@ class GANTrainer:
 
     def _d_update(self, mod, d_state: NetState, real, fake, key) -> tuple:
         k_noise_r, k_noise_f, k_gp, k_gp_noise, k_pnoise = jax.random.split(key, 5)
+        if self._diffaug_ops:
+            # D only ever sees augmented samples; the gradient penalty below
+            # then also regularizes D on the inputs it is actually judged on.
+            # fold_in (not a wider split) keeps the key stream bit-identical
+            # to the no-diffaug trainer when the policy is off.
+            real = diff_augment(real, jax.random.fold_in(key, 101),
+                                self._diffaug_ops)
+            fake = diff_augment(fake, jax.random.fold_in(key, 102),
+                                self._diffaug_ops)
 
         def loss_fn(params):
             if self.fused_real_fake:
@@ -191,13 +213,18 @@ class GANTrainer:
                                           real, k_noise_r)
                 pf, ex2 = self._d_forward(mod, params, ex1, fake, k_noise_f)
             loss = self.d_loss_fn(pr, pf)
-            if self.gp_weight > 0:
+            if self.gp_weight > 0 or self.r1_weight > 0:
                 # the 'noise' rng must be supplied even in eval-style applies:
                 # use_noise=True discriminators call make_rng unconditionally
                 d_apply = lambda x: mod.apply(
                     {"params": params, **ex2}, x, train=False,
                     rngs={"noise": k_gp_noise})[0]
-                loss = loss + self.gp_weight * gradient_penalty(d_apply, real, fake, k_gp)
+                if self.gp_weight > 0:
+                    loss = loss + self.gp_weight * gradient_penalty(
+                        d_apply, real, fake, k_gp)
+                if self.r1_weight > 0:
+                    # on the (possibly augmented) reals D actually judges
+                    loss = loss + self.r1_weight * r1_penalty(d_apply, real)
             return loss, ex2
 
         (loss, new_ex), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_state.params)
@@ -218,6 +245,12 @@ class GANTrainer:
             g_net = state.gen.replace(params=g_params)
             fake_vid, g_net = self._sample(g_net, k_vid, n, "sample_videos")
             fake_img, g_net = self._sample(g_net, k_img, n, "sample_images")
+            if self._diffaug_ops:
+                # inside the loss so the augmentation gradient reaches G
+                fake_vid = diff_augment(fake_vid, jax.random.fold_in(key, 201),
+                                        self._diffaug_ops)
+                fake_img = diff_augment(fake_img, jax.random.fold_in(key, 202),
+                                        self._diffaug_ops)
             pf_vid, dv_ex = self._d_forward(
                 self.dis_vid, state.dis_vid.params,
                 self._extras_of(state.dis_vid), fake_vid, k_dv)

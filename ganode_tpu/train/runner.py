@@ -88,8 +88,10 @@ def build_trainer(config: ExperimentConfig) -> GANTrainer:
         weight_decay=config.weight_decay,
         param_noise_sigma=config.param_noise_sigma,
         gp_weight=config.gp_weight,
+        r1_weight=config.r1_weight,
         ema_decay=config.ema_decay,
         fused_real_fake=config.fused_real_fake,
+        diffaug=config.diffaug,
     )
 
 

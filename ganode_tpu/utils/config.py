@@ -61,6 +61,9 @@ class ExperimentConfig:
     loss: str = "bce"                 # bce | wasserstein | hinge
     param_noise_sigma: float = 0.0
     gp_weight: float = 0.0
+    # R1 zero-centered gradient penalty on reals (Mescheder et al. 2018);
+    # 0 = off. The bce/hinge-compatible D regularizer (train/losses.py).
+    r1_weight: float = 0.0
     # EMA of generator params for eval-mode sampling (0 = off; 0.999 is a
     # good default when enabled). Beyond-reference stabilizer.
     ema_decay: float = 0.0
@@ -68,6 +71,11 @@ class ExperimentConfig:
     # measured TPU throughput option; BN stats then span the combined batch
     # (reference semantics = False; see GANTrainer.fused_real_fake).
     fused_real_fake: bool = False
+    # DiffAugment policy for discriminator inputs (arXiv:2006.10738), e.g.
+    # "color,translation,cutout". Keyed, differentiable, per-clip-consistent;
+    # "" = off (reference semantics). Beyond-reference stabilizer against
+    # D overfitting at small dataset scale. See train/diffaug.py.
+    diffaug: str = ""
     # data
     dataset: str = "rotmnist"         # rotmnist | ucf101
     data_path: str = "data/rot-mnist.npz"
