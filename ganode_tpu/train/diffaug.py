@@ -32,7 +32,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["diff_augment", "parse_policy", "translate2d", "POLICY_OPS"]
+__all__ = ["diff_augment", "parse_policy", "translate2d", "POLICY_OPS",
+           "ada_update"]
 
 
 def _per_sample(v, x):
@@ -149,13 +150,22 @@ def parse_policy(policy: str):
     return tuple(ops)
 
 
-def diff_augment(x, key, policy):
+def diff_augment(x, key, policy, p=None):
     """Apply the DiffAugment ``policy`` to a batch with fresh draws from ``key``.
 
     x: (B, H, W, C) images or (B, T, H, W, C) videos in any float dtype;
     policy: comma-separated op string (see `parse_policy`) or a pre-parsed
     tuple. Empty policy returns x unchanged. Differentiable in x; one draw
     per sample, shared across a clip's frames.
+
+    p: optional augmentation probability (traced scalar in [0, 1]) — the ADA
+    gating (Karras et al., "Training GANs with Limited Data", NeurIPS 2020,
+    arXiv:2006.06676 §C): each op is applied to each sample independently
+    with probability ``p`` (a per-sample Bernoulli gate via ``jnp.where``, so
+    shapes stay static and the whole thing still fuses into the jitted step).
+    ``p=None`` (the plain-DiffAugment path) is bit-identical to the pre-ADA
+    function: op draws come from the same ``fold_in(key, i)`` stream and no
+    gate draws are made.
     """
     ops = parse_policy(policy) if isinstance(policy, str) else tuple(policy)
     if not ops:
@@ -165,5 +175,28 @@ def diff_augment(x, key, policy):
     dtype = x.dtype
     x = x.astype(jnp.float32)
     for i, name in enumerate(ops):
-        x = POLICY_OPS[name](x, jax.random.fold_in(key, i))
+        aug = POLICY_OPS[name](x, jax.random.fold_in(key, i))
+        if p is None:
+            x = aug
+        else:
+            # gate keys live on a disjoint fold_in branch (1000+i) so the op
+            # draws above stay identical to the ungated stream — p=1 therefore
+            # reproduces plain diff_augment exactly.
+            u = jax.random.uniform(jax.random.fold_in(key, 1000 + i),
+                                   (x.shape[0],))
+            keep = (u < p).reshape((x.shape[0],) + (1,) * (x.ndim - 1))
+            x = jnp.where(keep, aug, x)
     return x.astype(dtype)
+
+
+def ada_update(p, rt, *, target: float, step: float, p_max: float = 0.8):
+    """One integral-controller update of the ADA probability (arXiv:2006.06676
+    §C): nudge ``p`` by ``±step`` toward driving the overfitting heuristic
+    ``rt = E[sign(D(aug(real)))]`` to ``target``, clipped to [0, p_max].
+
+    rt > target means the discriminator separates (augmented) reals too
+    confidently — it is memorizing the finite real set — so augmentation
+    strength rises; rt < target relaxes it. Pure jnp; called inside the jitted
+    train step on traced scalars.
+    """
+    return jnp.clip(p + step * jnp.sign(rt - target), 0.0, p_max)

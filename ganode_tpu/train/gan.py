@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import optax
 from flax import linen as nn
 
-from .diffaug import diff_augment, parse_policy
+from .diffaug import ada_update, diff_augment, parse_policy
 from .losses import LOSSES, gradient_penalty, r1_penalty
 from .state import GANState, NetState
 
@@ -97,6 +97,16 @@ class GANTrainer:
     # per-clip (shared across frames). "" = off (reference semantics: the
     # reference never augments D inputs). See train/diffaug.py.
     diffaug: str = ""
+    # Adaptive DiffAugment (ADA, arXiv:2006.06676): when > 0, the diffaug
+    # policy is applied per sample with a learned probability p (one per
+    # discriminator, carried in GANState.ada) driven by an integral controller
+    # toward E[sign(D(aug(real)))] = ada_target (0.6 is the paper's default).
+    # Requires a non-empty diffaug policy. 0 = fixed-p DiffAugment (p=1).
+    ada_target: float = 0.0
+    # controller increment per D update; p traverses [0, ada_p_max] in
+    # p_max/step updates (the paper's 500k-image constant = batch/500_000).
+    ada_step: float = 5e-4
+    ada_p_max: float = 0.8
 
     def __post_init__(self):
         if self.loss not in LOSSES:
@@ -104,6 +114,8 @@ class GANTrainer:
         self.d_loss_fn, self.g_loss_fn = LOSSES[self.loss]
         self.tx = reference_adam(self.lr, *self.betas, self.weight_decay)
         self._diffaug_ops = parse_policy(self.diffaug)  # validates eagerly
+        if self.ada_target > 0 and not self._diffaug_ops:
+            raise ValueError("ada_target > 0 needs a non-empty diffaug policy")
 
     # ----------------------------------------------------------- state utils
     @staticmethod
@@ -151,6 +163,9 @@ class GANTrainer:
             key=key,
             ema_params=(jax.tree.map(jnp.asarray, gen_vars["params"])
                         if self.ema_decay > 0 else None),
+            ada=({"p_img": jnp.asarray(0.0, jnp.float32),
+                  "p_vid": jnp.asarray(0.0, jnp.float32)}
+                 if self.ada_target > 0 else None),
         )
 
     def eval_gen_variables(self, state: GANState) -> dict:
@@ -189,7 +204,10 @@ class GANTrainer:
             extras["spectral"] = net.spectral
         return extras
 
-    def _d_update(self, mod, d_state: NetState, real, fake, key) -> tuple:
+    def _d_update(self, mod, d_state: NetState, real, fake, key,
+                  aug_p=None) -> tuple:
+        """Returns (new NetState, loss, rt) — rt = E[sign(D(real))], the ADA
+        overfitting heuristic, measured on the (augmented) reals D judged."""
         k_noise_r, k_noise_f, k_gp, k_gp_noise, k_pnoise = jax.random.split(key, 5)
         if self._diffaug_ops:
             # D only ever sees augmented samples; the gradient penalty below
@@ -197,9 +215,9 @@ class GANTrainer:
             # fold_in (not a wider split) keeps the key stream bit-identical
             # to the no-diffaug trainer when the policy is off.
             real = diff_augment(real, jax.random.fold_in(key, 101),
-                                self._diffaug_ops)
+                                self._diffaug_ops, aug_p)
             fake = diff_augment(fake, jax.random.fold_in(key, 102),
-                                self._diffaug_ops)
+                                self._diffaug_ops, aug_p)
 
         def loss_fn(params):
             if self.fused_real_fake:
@@ -225,9 +243,10 @@ class GANTrainer:
                 if self.r1_weight > 0:
                     # on the (possibly augmented) reals D actually judges
                     loss = loss + self.r1_weight * r1_penalty(d_apply, real)
-            return loss, ex2
+            return loss, (ex2, jnp.mean(jnp.sign(pr)))
 
-        (loss, new_ex), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_state.params)
+        (loss, (new_ex, rt)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(d_state.params)
         updates, new_opt = self.tx.update(grads, d_state.opt_state, d_state.params)
         new_params = optax.apply_updates(d_state.params, updates)
         if self.param_noise_sigma > 0:
@@ -235,7 +254,7 @@ class GANTrainer:
         return d_state.replace(params=new_params,
                                batch_stats=new_ex["batch_stats"],
                                spectral=new_ex.get("spectral", d_state.spectral),
-                               opt_state=new_opt), loss
+                               opt_state=new_opt), loss, rt
 
     def _g_update(self, state: GANState, key) -> tuple:
         n = self.batch_size
@@ -246,11 +265,14 @@ class GANTrainer:
             fake_vid, g_net = self._sample(g_net, k_vid, n, "sample_videos")
             fake_img, g_net = self._sample(g_net, k_img, n, "sample_images")
             if self._diffaug_ops:
-                # inside the loss so the augmentation gradient reaches G
+                # inside the loss so the augmentation gradient reaches G;
+                # under ADA each branch uses its discriminator's current p
+                # (G must be judged through the same view D was trained on)
+                ada = state.ada or {}
                 fake_vid = diff_augment(fake_vid, jax.random.fold_in(key, 201),
-                                        self._diffaug_ops)
+                                        self._diffaug_ops, ada.get("p_vid"))
                 fake_img = diff_augment(fake_img, jax.random.fold_in(key, 202),
-                                        self._diffaug_ops)
+                                        self._diffaug_ops, ada.get("p_img"))
             pf_vid, dv_ex = self._d_forward(
                 self.dis_vid, state.dis_vid.params,
                 self._extras_of(state.dis_vid), fake_vid, k_dv)

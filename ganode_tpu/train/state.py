@@ -30,3 +30,8 @@ class GANState:
     # the oscillation alternating GAN training produces (measured on the
     # rotated-digit runs: per-checkpoint FVD swings 2-4x between evals).
     ema_params: Any = None
+    # Adaptive-DiffAugment (ADA) controller state: {"p_img": f32 scalar,
+    # "p_vid": f32 scalar} when ada_target > 0, else None. Each discriminator
+    # gets its own augmentation probability (they overfit at different rates:
+    # the video critic sees T x fewer independent samples per step).
+    ada: Any = None
