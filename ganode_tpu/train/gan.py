@@ -304,6 +304,13 @@ class GANTrainer:
         videos: (d_iters, B, T, H, W, C); key: fresh per-step PRNG key."""
         n = self.batch_size
         dis_img_loss = dis_vid_loss = jnp.asarray(0.0)
+        rt_img = rt_vid = jnp.asarray(0.0)
+        # ADA (arXiv:2006.06676): each discriminator carries its own
+        # augmentation probability p, nudged once per D update by the integral
+        # controller on rt = E[sign(D(aug(real)))]. ada is None when disabled;
+        # aug_p=None then makes _d_update bit-identical to the pre-ADA stream
+        # (diff_augment draws no gate keys for p=None).
+        ada = state.ada
 
         for i in range(self.d_iters):
             k = jax.random.fold_in(key, i)
@@ -313,18 +320,33 @@ class GANTrainer:
             fake_img, gen_net = self._sample(state.gen, k_si, n, "sample_images")
             fake_img = jax.lax.stop_gradient(fake_img)
             state = state.replace(gen=gen_net)
-            new_di, dis_img_loss = self._d_update(
-                self.dis_img, state.dis_img, images[i], fake_img, k_di)
+            new_di, dis_img_loss, rt_img = self._d_update(
+                self.dis_img, state.dis_img, images[i], fake_img, k_di,
+                aug_p=None if ada is None else ada["p_img"])
             state = state.replace(dis_img=new_di)
+            if ada is not None:
+                ada = {**ada, "p_img": ada_update(
+                    ada["p_img"], rt_img, target=self.ada_target,
+                    step=self.ada_step, p_max=self.ada_p_max)}
 
             # video discriminator: real clips vs no-grad fake videos
             fake_vid, gen_net = self._sample(state.gen, k_sv, n, "sample_videos")
             fake_vid = jax.lax.stop_gradient(fake_vid)
             state = state.replace(gen=gen_net)
-            new_dv, dis_vid_loss = self._d_update(
-                self.dis_vid, state.dis_vid, videos[i], fake_vid, k_dv)
+            new_dv, dis_vid_loss, rt_vid = self._d_update(
+                self.dis_vid, state.dis_vid, videos[i], fake_vid, k_dv,
+                aug_p=None if ada is None else ada["p_vid"])
             state = state.replace(dis_vid=new_dv)
+            if ada is not None:
+                ada = {**ada, "p_vid": ada_update(
+                    ada["p_vid"], rt_vid, target=self.ada_target,
+                    step=self.ada_step, p_max=self.ada_p_max)}
 
+        if ada is not None:
+            # commit the controller state BEFORE the G update: _g_update gates
+            # G's fakes with state.ada, and G must be judged through the view
+            # D now trains on (the two differ by at most ada_step per iter).
+            state = state.replace(ada=ada)
         state, gen_loss = self._g_update(state, jax.random.fold_in(key, 1000))
         if self.ema_decay > 0 and state.ema_params is not None:
             d = self.ema_decay
@@ -337,6 +359,11 @@ class GANTrainer:
             "dis_vid_loss": dis_vid_loss,
             "gen_loss": gen_loss,
         }
+        if ada is not None:
+            # controller observability: the overfitting heuristics from the
+            # last D iter and the committed augmentation probabilities
+            metrics.update(rt_img=rt_img, rt_vid=rt_vid,
+                           ada_p_img=ada["p_img"], ada_p_vid=ada["p_vid"])
         return state, metrics
 
     def jitted_step(self, donate: bool = True):

@@ -92,6 +92,9 @@ def build_trainer(config: ExperimentConfig) -> GANTrainer:
         ema_decay=config.ema_decay,
         fused_real_fake=config.fused_real_fake,
         diffaug=config.diffaug,
+        ada_target=config.ada_target,
+        ada_step=config.ada_step,
+        ada_p_max=config.ada_p_max,
     )
 
 

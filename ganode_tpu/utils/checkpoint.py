@@ -12,6 +12,7 @@ import os
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 
@@ -47,28 +48,52 @@ class CheckpointManager:
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
-        state_like = self._reconcile_ema(state_like, step)
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(state_like))
+        state_like, patch = self._reconcile_optional_slots(state_like, step)
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_like))
+        return patch(restored)
 
-    def _reconcile_ema(self, state_like: Any, step: int) -> Any:
-        """Align the template's ema_params slot with what the checkpoint holds."""
+    def _reconcile_optional_slots(self, state_like: Any, step: int):
+        """Align the template's optional GANState slots (ema_params, ada) with
+        what the checkpoint actually holds, so a template built from a config
+        that differs from the training run's (e.g. evaluate.py reading an
+        ``--ema``- or ADA-trained checkpoint with default flags, or an
+        ``ada_target>0`` run resuming from a pre-ADA checkpoint — the
+        documented tunnel-death recovery path) doesn't hand orbax a structure
+        mismatch. Returns (template, patch) where ``patch`` post-processes the
+        restored state (identity unless a template slot had to be dropped)."""
+        identity = lambda s: s
         if not (hasattr(state_like, "ema_params")
                 and hasattr(state_like, "replace")
                 and hasattr(state_like, "gen")):
-            return state_like
+            return state_like, identity
         try:
-            saved = self._mgr.item_metadata(step).tree.get("ema_params")
+            tree = self._mgr.item_metadata(step).tree
         except Exception:
-            return state_like  # older orbax / non-tree item: leave unchanged
+            return state_like, identity  # older orbax / non-tree item
+        saved = tree.get("ema_params")
         if saved is not None and state_like.ema_params is None:
             # Checkpoint carries EMA weights the template didn't plan for:
             # EMA is structurally a copy of the generator params (train/gan.py
             # init_state), so the generator subtree is the correct template.
-            return state_like.replace(
+            state_like = state_like.replace(
                 ema_params=jax.tree.map(lambda x: x, state_like.gen.params))
-        if saved is None and state_like.ema_params is not None:
-            return state_like.replace(ema_params=None)
-        return state_like
+        elif saved is None and state_like.ema_params is not None:
+            state_like = state_like.replace(ema_params=None)
+        patch = identity
+        saved_ada = tree.get("ada")
+        if saved_ada is not None and state_like.ada is None:
+            state_like = state_like.replace(
+                ada={"p_img": jnp.asarray(0.0, jnp.float32),
+                     "p_vid": jnp.asarray(0.0, jnp.float32)})
+        elif saved_ada is None and state_like.ada is not None:
+            # pre-ADA checkpoint into an ADA template: restore without the
+            # slot, then reinstate the caller's fresh controller state (p=0)
+            # so the resumed run starts adapting from scratch.
+            fresh = state_like.ada
+            state_like = state_like.replace(ada=None)
+            patch = lambda s: s.replace(ada=fresh)
+        return state_like, patch
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

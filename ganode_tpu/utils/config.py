@@ -76,6 +76,14 @@ class ExperimentConfig:
     # "" = off (reference semantics). Beyond-reference stabilizer against
     # D overfitting at small dataset scale. See train/diffaug.py.
     diffaug: str = ""
+    # Adaptive DiffAugment (ADA, arXiv:2006.06676): > 0 turns the fixed-p
+    # diffaug policy into a per-discriminator adaptive one — an integral
+    # controller drives p toward E[sign(D(aug(real)))] = ada_target (paper
+    # default 0.6). Requires a non-empty diffaug policy. 0 = off (fixed p=1).
+    ada_target: float = 0.0
+    # controller increment per D update (paper's 500k-image constant)
+    ada_step: float = 5e-4
+    ada_p_max: float = 0.8
     # data
     dataset: str = "rotmnist"         # rotmnist | ucf101
     data_path: str = "data/rot-mnist.npz"

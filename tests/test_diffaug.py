@@ -135,6 +135,83 @@ class TestOps:
             rtol=1e-4, atol=1e-5)
 
 
+class TestADA:
+    """Adaptive-DiffAugment gating (diff_augment's ``p``) and the integral
+    controller (ada_update), arXiv:2006.06676 §C."""
+
+    POLICY = "color,translation,cutout"
+
+    def test_p1_bitwise_matches_plain(self):
+        """p=1 keeps every per-sample gate, and the gate keys live on a
+        disjoint fold_in branch — so the output is BITWISE the plain
+        (p=None) DiffAugment. jit-vs-jit per repo convention."""
+        x = jax.random.normal(KEY, (3, 4, 8, 8, 3))
+        f = jax.jit(lambda x, k, p: diff_augment(x, k, self.POLICY, p))
+        g = jax.jit(lambda x, k: diff_augment(x, k, self.POLICY))
+        np.testing.assert_array_equal(
+            np.asarray(f(x, jax.random.PRNGKey(7), jnp.asarray(1.0))),
+            np.asarray(g(x, jax.random.PRNGKey(7))))
+
+    def test_p0_is_identity(self):
+        """p=0 rejects every gate: the batch passes through untouched."""
+        x = jax.random.normal(KEY, (3, 8, 8, 3))
+        f = jax.jit(lambda x, k, p: diff_augment(x, k, self.POLICY, p))
+        np.testing.assert_array_equal(
+            np.asarray(f(x, jax.random.PRNGKey(7), jnp.asarray(0.0))),
+            np.asarray(x))
+
+    def test_intermediate_p_gates_per_sample(self):
+        """With a single op at p=0.5 each sample is either exactly its
+        augmented version or exactly itself (the gate is per sample, not a
+        blend), and with enough samples both outcomes occur."""
+        x = jax.random.normal(KEY, (64, 6, 6, 1))
+        k = jax.random.PRNGKey(11)
+        aug = jax.jit(lambda x, k: diff_augment(x, k, "brightness"))(x, k)
+        got = jax.jit(lambda x, k, p: diff_augment(x, k, "brightness", p))(
+            x, k, jnp.asarray(0.5))
+        is_aug = np.all(np.asarray(got) == np.asarray(aug), axis=(1, 2, 3))
+        is_raw = np.all(np.asarray(got) == np.asarray(x), axis=(1, 2, 3))
+        assert np.all(is_aug | is_raw)
+        assert is_aug.any() and is_raw.any()
+
+    def test_p_gate_traced_under_jit(self):
+        """p arrives as a traced scalar inside the jitted train step; the
+        jitted function must accept it without retracing per value."""
+        x = jax.random.normal(KEY, (4, 8, 8, 3))
+        f = jax.jit(lambda x, k, p: diff_augment(x, k, self.POLICY, p))
+        for p in (0.0, 0.3, 1.0):
+            y = f(x, jax.random.PRNGKey(3), jnp.asarray(p))
+            assert np.all(np.isfinite(np.asarray(y)))
+
+    def test_ada_update_controller_signs(self):
+        """rt above target raises p by exactly `step`; below lowers it;
+        results clip into [0, p_max]."""
+        from ganode_tpu.train.diffaug import ada_update
+
+        kw = dict(target=0.6, step=0.01, p_max=0.8)
+        np.testing.assert_allclose(
+            float(ada_update(jnp.asarray(0.5), jnp.asarray(0.9), **kw)), 0.51)
+        np.testing.assert_allclose(
+            float(ada_update(jnp.asarray(0.5), jnp.asarray(0.1), **kw)), 0.49)
+        # clipping at both ends
+        np.testing.assert_allclose(
+            float(ada_update(jnp.asarray(0.0), jnp.asarray(0.1), **kw)), 0.0)
+        np.testing.assert_allclose(
+            float(ada_update(jnp.asarray(0.8), jnp.asarray(0.9), **kw)), 0.8)
+
+    def test_ada_update_converges_to_target_band(self):
+        """Driving the controller with rt = p (a monotone proxy: more
+        augmentation -> lower D confidence would be -p; use rt decreasing in
+        p) settles p near the fixed point instead of diverging."""
+        from ganode_tpu.train.diffaug import ada_update
+
+        p = jnp.asarray(0.0)
+        for _ in range(200):
+            rt = 1.0 - p  # D confidence falls as augmentation rises
+            p = ada_update(p, rt, target=0.6, step=0.01, p_max=0.8)
+        assert abs(float(p) - 0.4) < 0.02  # fixed point: 1 - p = 0.6
+
+
 class TestTrainerIntegration:
     B, T, NGF = 4, 8, 8
 

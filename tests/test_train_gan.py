@@ -273,6 +273,178 @@ class TestTrainStep:
         with pytest.raises(ValueError):
             _tiny_trainer(loss="nonsense")
 
+    def test_ada_requires_diffaug_policy(self):
+        with pytest.raises(ValueError, match="diffaug"):
+            _tiny_trainer(ada_target=0.6)
+
+    def test_ada_trainer_step(self):
+        """ADA on (ada_target > 0 + a diffaug policy): state.ada starts at
+        p=0, the controller state is threaded through train_step, and the
+        committed state matches the reported metrics (the G update must judge
+        through exactly the p the D updates trained with)."""
+        trainer = _tiny_trainer(d_iters=2, diffaug="color,translation,cutout",
+                                ada_target=0.6, ada_step=0.05)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        assert state.ada is not None
+        assert float(state.ada["p_img"]) == 0.0
+        assert float(state.ada["p_vid"]) == 0.0
+        images, videos = _fake_batches(jax.random.PRNGKey(1))
+        state, metrics = trainer.jitted_step(donate=False)(
+            state, images, videos, jax.random.PRNGKey(2))
+        for name in ("rt_img", "rt_vid", "ada_p_img", "ada_p_vid"):
+            assert name in metrics and np.isfinite(float(metrics[name])), name
+        for d in ("img", "vid"):
+            p = float(state.ada[f"p_{d}"])
+            assert 0.0 <= p <= trainer.ada_p_max
+            np.testing.assert_allclose(p, float(metrics[f"ada_p_{d}"]))
+            # rt in [-1, 1] by construction (mean of signs)
+            assert -1.0 <= float(metrics[f"rt_{d}"]) <= 1.0
+        # an untrained D separates nothing perfectly, but with ada_step large
+        # enough the controller must have moved at least one p off 0 OR both
+        # rt's sat below target (either is a live controller)
+        moved = any(float(state.ada[f"p_{d}"]) != 0.0 for d in ("img", "vid"))
+        sat_low = all(float(metrics[f"rt_{d}"]) < 0.6 for d in ("img", "vid"))
+        assert moved or sat_low
+
+    def test_ada_disabled_has_no_controller_state(self):
+        trainer = _tiny_trainer(diffaug="color")
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        assert state.ada is None
+        images, videos = _fake_batches(jax.random.PRNGKey(1))
+        _, metrics = trainer.train_step(state, images, videos,
+                                        jax.random.PRNGKey(2))
+        assert "ada_p_img" not in metrics and "rt_img" not in metrics
+
+    def test_ada_checkpoint_restores_through_old_template(self, tmp_path):
+        """ADVICE r3 (low): GANState grew the optional `ada` slot; restores
+        must reconcile template/checkpoint mismatches in BOTH directions —
+        evaluate.py reading an ADA-trained checkpoint with a default config,
+        and an ada_target>0 run resuming from a pre-ADA checkpoint (the
+        documented tunnel-death recovery path)."""
+        from ganode_tpu.utils.checkpoint import CheckpointManager
+
+        ada_trainer = _tiny_trainer(d_iters=1,
+                                    diffaug="color,translation,cutout",
+                                    ada_target=0.6, ada_step=0.05)
+        state = ada_trainer.init_state(jax.random.PRNGKey(0))
+        images, videos = _fake_batches(jax.random.PRNGKey(1), d_iters=1)
+        state, _ = ada_trainer.train_step(state, images, videos,
+                                          jax.random.PRNGKey(2))
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(1, state, wait=True)
+
+        # ADA checkpoint read through a default (no-ADA) template
+        plain = _tiny_trainer(d_iters=1)
+        restored = mgr.restore(plain.init_state(jax.random.PRNGKey(9)))
+        assert restored.ada is not None
+        for k in ("p_img", "p_vid"):
+            np.testing.assert_array_equal(np.asarray(restored.ada[k]),
+                                          np.asarray(state.ada[k]))
+        mgr.close()
+
+        # reverse: pre-ADA checkpoint resumed under an ADA config — restore
+        # succeeds and the controller starts fresh at p=0
+        plain_state = plain.init_state(jax.random.PRNGKey(3))
+        mgr2 = CheckpointManager(str(tmp_path / "ckpt2"))
+        mgr2.save(1, plain_state, wait=True)
+        restored2 = mgr2.restore(
+            ada_trainer.init_state(jax.random.PRNGKey(9)))
+        assert restored2.ada is not None
+        assert float(restored2.ada["p_img"]) == 0.0
+        assert float(restored2.ada["p_vid"]) == 0.0
+        # the non-optional slots really came from the checkpoint
+        for a, b in zip(jax.tree.leaves(plain_state.gen.params),
+                        jax.tree.leaves(restored2.gen.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        mgr2.close()
+
+
+# --------------------------------------------------------- feature matrix
+# VERDICT r3 #2: the r3 snapshot regression got in because no test composed
+# the trainer's feature flags through one train_step call. Every entry runs
+# ONE tiny step (gru motion, T=6, ngf=4 — no solver, CPU-fast) and asserts
+# finite metrics + advanced step; the two all-on rows exercise every flag
+# interaction (incl. ADA x fused, penalty x diffaug, noise x ema) at once.
+_MATRIX = {
+    "all_off": {},
+    "diffaug": dict(diffaug="color,translation,cutout"),
+    "ada": dict(diffaug="color,translation,cutout", ada_target=0.6,
+                ada_step=0.05),
+    "wgan_gp": dict(loss="wasserstein", gp_weight=10.0),
+    "r1": dict(r1_weight=10.0),
+    "ema": dict(ema_decay=0.9),
+    "fused": dict(fused_real_fake=True),
+    "param_noise": dict(param_noise_sigma=1e-4),
+    "all_on_bce": dict(diffaug="color,translation,cutout", ada_target=0.6,
+                       ada_step=0.05, r1_weight=10.0, ema_decay=0.9,
+                       fused_real_fake=True, param_noise_sigma=1e-4),
+    "all_on_wgan": dict(loss="wasserstein", gp_weight=10.0,
+                        diffaug="color,translation,cutout", ada_target=0.6,
+                        ada_step=0.05, ema_decay=0.9, fused_real_fake=True,
+                        param_noise_sigma=1e-4),
+}
+
+_MB, _MT, _MNGF = 2, 6, 4  # VideoDiscriminator(ksize=2) needs T >= 6
+
+
+def _matrix_trainer(**kwargs):
+    gen = make_generator("gru", n_channels=1, trunk="mnist28", video_length=_MT,
+                         dim_z_content=6, dim_z_motion=4, ngf=_MNGF)
+    defaults = dict(batch_size=_MB, d_iters=1)
+    defaults.update(kwargs)
+    return GANTrainer(gen=gen,
+                      dis_img=PatchImageDiscriminator(ndf=_MNGF),
+                      dis_vid=VideoDiscriminator(ksize=2, ndf=_MNGF),
+                      **defaults)
+
+
+def _matrix_batches():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    images = jax.random.uniform(k1, (1, _MB, 28, 28, 1), minval=-1, maxval=1)
+    videos = jax.random.uniform(k2, (1, _MB, _MT, 28, 28, 1),
+                                minval=-1, maxval=1)
+    return images, videos
+
+
+@pytest.mark.parametrize("name", sorted(_MATRIX))
+def test_feature_matrix_smoke(name):
+    trainer = _matrix_trainer(**_MATRIX[name])
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    images, videos = _matrix_batches()
+    new_state, metrics = trainer.train_step(state, images, videos,
+                                            jax.random.PRNGKey(2))
+    for mname, v in metrics.items():
+        assert np.isfinite(float(v)), f"{name}: {mname}"
+    assert int(new_state.step) == 1
+    moved = any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(state.gen.params),
+                        jax.tree.leaves(new_state.gen.params)))
+    assert moved, name
+
+
+def test_feature_matrix_all_off_matches_defaults_bitwise():
+    """Explicitly-off flags must reproduce the default trainer's stream
+    EXACTLY (jit-vs-jit): feature plumbing (ADA key threading, aug_p
+    arguments) may not perturb the baseline path. This is the pin that would
+    have caught the r3 aug_p/key-stream drift class."""
+    explicit = _matrix_trainer(diffaug="", ada_target=0.0, gp_weight=0.0,
+                               r1_weight=0.0, ema_decay=0.0,
+                               fused_real_fake=False, param_noise_sigma=0.0)
+    default = _matrix_trainer()
+    images, videos = _matrix_batches()
+    s_e = explicit.init_state(jax.random.PRNGKey(0))
+    s_d = default.init_state(jax.random.PRNGKey(0))
+    s_e, m_e = explicit.jitted_step(donate=False)(
+        s_e, images, videos, jax.random.PRNGKey(2))
+    s_d, m_d = default.jitted_step(donate=False)(
+        s_d, images, videos, jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(m_e["gen_loss"]),
+                                  np.asarray(m_d["gen_loss"]))
+    for a, b in zip(jax.tree.leaves(s_e.gen.params),
+                    jax.tree.leaves(s_d.gen.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_categorical_training_config():
     """End-to-end step with dim_z_category > 0 and the categorical video
