@@ -14,6 +14,7 @@ from .rotmnist import (
 )
 from .video import (
     default_resize_geometry,
+    read_avi_pcm_audio,
     read_video_timestamps,
     read_video_with_info,
     resample_frame_indices,
@@ -53,6 +54,7 @@ __all__ = [
     "UCF101ImageSampler",
     "build_rotmnist",
     "default_resize_geometry",
+    "read_avi_pcm_audio",
     "read_video_timestamps",
     "read_video_with_info",
     "resample_frame_indices",

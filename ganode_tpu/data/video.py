@@ -133,6 +133,114 @@ def read_video_timestamps(path: str) -> Tuple[np.ndarray, float]:
     return out, fps
 
 
+# ---------------------------------------------------------------- AVI audio
+# OpenCV's VideoCapture is video-only and this environment has no other
+# decode backend (no PyAV, no ffmpeg CLI, no torchaudio). But AVI is a plain
+# RIFF container, so UNCOMPRESSED audio tracks (PCM / IEEE-float — the
+# formats a demuxer alone can "decode") are readable with the stdlib. This
+# closes the reference reader's audio surface (reference
+# dataset/video/video_utils.py:117-198 returns (vframes, aframes, info)) for
+# the decodable subset; compressed codecs (MP3 etc.) stay a documented empty.
+
+_PCM_DTYPES = {  # (wFormatTag, wBitsPerSample) -> numpy dtype
+    (1, 8): np.uint8, (1, 16): np.int16, (1, 32): np.int32,
+    (3, 32): np.float32, (3, 64): np.float64,
+}
+
+
+def _riff_chunks(buf, pos: int, end: int):
+    """Yield (fourcc, data_start, data_size) over a RIFF chunk run; chunk
+    payloads are padded to even offsets per the RIFF spec."""
+    import struct
+
+    while pos + 8 <= end:
+        fourcc = bytes(buf[pos:pos + 4])
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        data = pos + 8
+        if data + size > end:  # corrupt tail: stop at what fits
+            size = max(end - data, 0)
+        yield fourcc, data, size
+        pos = data + size + (size & 1)
+
+
+def read_avi_pcm_audio(path: str):
+    """Demux an AVI's first uncompressed audio stream with the stdlib.
+
+    Returns (samples, rate): samples (K, L) float32 in [-1, 1] — channels x
+    samples, the reference reader's aframes layout (reference
+    dataset/video/video_utils.py:137-139 "Tensor[K, L]") — and the sample
+    rate. Returns None when the file is not an AVI, has no audio stream, or
+    the stream's codec is compressed (a demuxer cannot decode MP3/AAC).
+    """
+    import mmap
+    import struct
+
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"AVI ":
+            return None
+        buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            file_end = len(buf)
+            fmt = None          # (tag, channels, rate, bits)
+            audio_ix = None     # stream ordinal -> '##wb' chunk id
+            movi = None
+            stream_ix = 0
+            for cc, data, size in _riff_chunks(buf, 12, file_end):
+                if cc != b"LIST":
+                    continue
+                ltype = bytes(buf[data:data + 4])
+                if ltype == b"hdrl":
+                    for cc2, d2, s2 in _riff_chunks(buf, data + 4, data + size):
+                        if cc2 != b"LIST" or bytes(buf[d2:d2 + 4]) != b"strl":
+                            continue
+                        is_auds, strf = False, None
+                        for cc3, d3, s3 in _riff_chunks(buf, d2 + 4, d2 + s2):
+                            if cc3 == b"strh":
+                                is_auds = bytes(buf[d3:d3 + 4]) == b"auds"
+                            elif cc3 == b"strf":
+                                strf = (d3, s3)
+                        if is_auds and fmt is None and strf and strf[1] >= 16:
+                            tag, ch, rate, _, _, bits = struct.unpack_from(
+                                "<HHIIHH", buf, strf[0])
+                            fmt = (tag, ch, rate, bits)
+                            audio_ix = stream_ix
+                        stream_ix += 1
+                elif ltype == b"movi":
+                    movi = (data + 4, data + size)
+            if fmt is None or movi is None:
+                return None
+            tag, channels, rate, bits = fmt
+            dtype = _PCM_DTYPES.get((tag, bits))
+            if dtype is None or channels < 1 or rate <= 0:
+                return None  # compressed / exotic: demux alone can't decode
+
+            want = b"%02dwb" % audio_ix
+            parts = []
+
+            def collect(lo, hi):
+                for cc, d, s in _riff_chunks(buf, lo, hi):
+                    if cc == want:
+                        parts.append(bytes(buf[d:d + s]))
+                    elif cc == b"LIST" and bytes(buf[d:d + 4]) == b"rec ":
+                        collect(d + 4, d + s)  # grouped records
+
+            collect(*movi)
+            if not parts:
+                return None
+            raw = np.frombuffer(b"".join(parts), dtype=dtype)
+            raw = raw[: (raw.size // channels) * channels]
+            samples = raw.reshape(-1, channels).T.astype(np.float32)
+            if tag == 1:  # integer PCM -> [-1, 1]
+                if bits == 8:
+                    samples = (samples - 128.0) / 128.0
+                else:
+                    samples = samples / float(2 ** (bits - 1))
+            return samples, int(rate)
+        finally:
+            buf.close()
+
+
 def read_video_with_info(path: str, start: int = 0,
                          end: Optional[int] = None):
     """(video, audio, info) with the reference reader's return contract
@@ -140,13 +248,15 @@ def read_video_with_info(path: str, start: int = 0,
     frames, audio samples, and an info dict with video_fps/audio_fps).
 
     video: (T, H, W, C) uint8 RGB frames [start, end] inclusive.
-    audio: (0, 0) float32 — ALWAYS empty: this environment has no audio
-        decode backend at all (no PyAV, no ffmpeg CLI, no torchaudio;
-        OpenCV's VideoCapture is video-only), and no GAN pipeline here or in
-        the reference consumes audio. The empty array keeps the tuple shape
-        of the reference API; ``info['audio_fps'] is None`` marks the stream
-        as absent rather than silent.
-    info: {'video_fps': float, 'audio_fps': None,
+    audio: (K, L) float32 channels-x-samples (the reference's aframes layout,
+        video_utils.py:137-139), trimmed to the returned frames' time window
+        like the reference's _align_audio_frames. Audio comes from the
+        stdlib RIFF demuxer above, so only UNCOMPRESSED tracks (PCM /
+        IEEE-float) decode; compressed codecs — and this environment has no
+        decoder for them (no PyAV, no ffmpeg CLI, no torchaudio; OpenCV is
+        video-only) — yield the documented empty (0, 0) array with
+        ``info['audio_fps'] is None`` marking the stream as undecodable.
+    info: {'video_fps': float, 'audio_fps': int | None,
            'pts': per-returned-frame presentation timestamps (seconds)}.
     """
     video = read_video(path, start, end)
@@ -162,12 +272,21 @@ def read_video_with_info(path: str, start: int = 0,
         # instead of returning a misaligned or degenerate array
         step = 1.0 / fps if fps > 0 else 1.0
         frame_pts = (start + np.arange(video.shape[0], dtype=np.float64)) * step
+    audio, audio_fps = np.zeros((0, 0), np.float32), None
+    decoded = read_avi_pcm_audio(path)
+    if decoded is not None:
+        audio, audio_fps = decoded
+        if frame_pts.size:  # trim to the returned frames' time window
+            t0 = frame_pts[0]
+            t1 = frame_pts[-1] + (1.0 / fps if fps > 0 else 0.0)
+            audio = audio[:, int(round(t0 * audio_fps)):
+                          int(round(t1 * audio_fps))]
     info = {
         "video_fps": fps,
-        "audio_fps": None,
+        "audio_fps": audio_fps,
         "pts": frame_pts,
     }
-    return video, np.zeros((0, 0), np.float32), info
+    return video, audio, info
 
 
 def probe_fps(path: str) -> float:

@@ -403,8 +403,9 @@ class TestVideoDecodePack:
 
 class TestVideoInfo:
     """pts + (video, audio, info) surface of the reference's vendored reader
-    (reference dataset/video/video_utils.py:117-210). Audio is an explicit
-    scope cut (no audio backend in this environment) — see PARITY.md #18."""
+    (reference dataset/video/video_utils.py:117-210). Uncompressed (PCM)
+    audio decodes via the stdlib RIFF demuxer (TestAviAudio below); compressed
+    audio codecs stay a documented empty — see PARITY.md #18."""
 
     @pytest.fixture()
     def avi(self, tmp_path):
@@ -434,7 +435,7 @@ class TestVideoInfo:
 
         video, audio, info = read_video_with_info(avi, start=2, end=11)
         assert video.shape == (10, 48, 64, 3) and video.dtype == np.uint8
-        assert audio.shape == (0, 0)            # documented scope cut
+        assert audio.shape == (0, 0)            # no audio stream in this AVI
         assert info["audio_fps"] is None
         assert info["video_fps"] == 25.0
         assert info["pts"].shape == (10,)
@@ -454,6 +455,155 @@ class TestVideoInfo:
         assert info["pts"].shape == (video.shape[0],)
         np.testing.assert_allclose(info["pts"],
                                    (2 + np.arange(10)) * 0.04, atol=1e-6)
+
+
+def _riff_chunk(cc, payload):
+    import struct
+
+    out = cc + struct.pack("<I", len(payload)) + payload
+    return out + (b"\0" if len(payload) & 1 else b"")
+
+
+def _riff_list(ltype, payload):
+    return _riff_chunk(b"LIST", ltype + payload)
+
+
+def _mux_audio_into_avi(src, dst, pcm_bytes, rate, channels, bits,
+                        format_tag=1):
+    """RIFF surgery: append a second (audio) stream to a cv2-written AVI —
+    an 'auds' strl in hdrl (dwStreams bumped to 2) plus one '01wb' data
+    chunk in movi. Raw-DIB AVIs hand-built from scratch crash this image's
+    OpenCV/FFmpeg, so the only way to test the integrated video+audio
+    contract is to graft audio onto a container cv2 itself produced."""
+    import struct
+
+    block = channels * bits // 8
+    n_samples = len(pcm_bytes) // max(block, 1)
+    strh = struct.pack("<4s4sIHHIIIIIIiI4H", b"auds", b"\0\0\0\0",
+                       0, 0, 0, 0, 1, rate, 0, n_samples, rate * block,
+                       -1, block, 0, 0, 0, 0)
+    strf = struct.pack("<HHIIHH", format_tag, channels, rate,
+                       rate * block, block, bits)
+    audio_strl = _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                            + _riff_chunk(b"strf", strf))
+
+    buf = bytearray(open(src, "rb").read())
+
+    def chunks(pos, end):
+        import struct as st
+        while pos + 8 <= end:
+            cc = bytes(buf[pos:pos + 4])
+            (size,) = st.unpack_from("<I", buf, pos + 4)
+            yield cc, pos, size
+            pos += 8 + size + (size & 1)
+
+    out = bytearray(buf[:12])
+    for cc, pos, size in chunks(12, len(buf)):
+        payload = bytes(buf[pos + 8:pos + 8 + size])
+        if cc == b"LIST" and payload[:4] == b"hdrl":
+            inner = bytearray(payload[4:])
+            # bump dwStreams (avih offset 24) to 2
+            import struct as st
+            ipos = 0
+            while ipos + 8 <= len(inner):
+                cc2 = bytes(inner[ipos:ipos + 4])
+                (s2,) = st.unpack_from("<I", inner, ipos + 4)
+                if cc2 == b"avih":
+                    st.pack_into("<I", inner, ipos + 8 + 24, 2)
+                ipos += 8 + s2 + (s2 & 1)
+            out += _riff_list(b"hdrl", bytes(inner) + audio_strl)
+        elif cc == b"LIST" and payload[:4] == b"movi":
+            out += _riff_list(b"movi",
+                              payload[4:] + _riff_chunk(b"01wb", pcm_bytes))
+        else:
+            out += _riff_chunk(cc, payload)
+    import struct as st
+    st.pack_into("<I", out, 4, len(out) - 8)
+    open(dst, "wb").write(bytes(out))
+
+
+class TestAviAudio:
+    """Audio surface of the reference reader (reference
+    dataset/video/video_utils.py:117-198: read_video returns (vframes,
+    aframes[K, L], info['audio_fps'])), rebuilt as a pure-stdlib RIFF/AVI
+    demuxer for UNCOMPRESSED tracks — the only codecs decodable without an
+    audio backend (this image has no PyAV/ffmpeg CLI/torchaudio)."""
+
+    RATE, CH, BITS, T, FPS = 8000, 2, 16, 20, 25
+
+    @pytest.fixture()
+    def avi_with_audio(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        base = str(tmp_path / "base.avi")
+        w = cv2.VideoWriter(base, cv2.VideoWriter_fourcc(*"MJPG"), self.FPS,
+                            (64, 48))
+        rng = np.random.RandomState(0)
+        for _ in range(self.T):
+            w.write(rng.randint(0, 255, (48, 64, 3), dtype=np.uint8))
+        w.release()
+        t = np.arange(self.RATE) / self.RATE  # 1 s — longer than the video
+        wave = np.stack([np.sin(2 * np.pi * 440 * t),
+                         np.sin(2 * np.pi * 220 * t)], 1)
+        pcm = (np.clip(wave, -1, 1) * 32767).astype(np.int16)
+        path = str(tmp_path / "muxed.avi")
+        _mux_audio_into_avi(base, path, pcm.tobytes(), self.RATE, self.CH,
+                            self.BITS)
+        return path, wave.astype(np.float32)
+
+    def test_demux_pcm(self, avi_with_audio):
+        from ganode_tpu.data import read_avi_pcm_audio
+
+        path, wave = avi_with_audio
+        samples, rate = read_avi_pcm_audio(path)
+        assert rate == self.RATE
+        assert samples.shape == (self.CH, self.RATE)  # (K, L), ref contract
+        assert samples.dtype == np.float32
+        # atol: int16 rounding (1/32767) + encode x32767 / decode /32768
+        # scale skew (|wave|/32768 <= 1/32768)
+        np.testing.assert_allclose(samples, wave.T, rtol=0, atol=7e-5)
+
+    def test_read_video_with_info_returns_trimmed_audio(self, avi_with_audio):
+        from ganode_tpu.data import read_video_with_info
+
+        path, wave = avi_with_audio
+        video, audio, info = read_video_with_info(path, start=2, end=6)
+        assert video.shape == (5, 48, 64, 3)
+        assert info["audio_fps"] == self.RATE
+        # frames [2, 6] at 25 fps span [0.08 s, 0.28 s) -> 1600 samples,
+        # aligned to the returned frames like the reference's
+        # _align_audio_frames (video_utils.py:194)
+        assert audio.shape == (self.CH, 1600)
+        lo = int(round(0.08 * self.RATE))
+        np.testing.assert_allclose(audio, wave.T[:, lo:lo + 1600],
+                                   rtol=0, atol=7e-5)
+
+    def test_compressed_codec_yields_documented_empty(self, tmp_path,
+                                                      avi_with_audio):
+        """An MP3 (or any compressed) track cannot be decoded by a demuxer;
+        the surface degrades to the documented empty array + audio_fps None
+        instead of returning garbage bytes."""
+        cv2 = pytest.importorskip("cv2")
+        from ganode_tpu.data import read_avi_pcm_audio, read_video_with_info
+
+        base = str(tmp_path / "b2.avi")
+        w = cv2.VideoWriter(base, cv2.VideoWriter_fourcc(*"MJPG"), self.FPS,
+                            (64, 48))
+        for _ in range(self.T):
+            w.write(np.zeros((48, 64, 3), dtype=np.uint8))
+        w.release()
+        path = str(tmp_path / "mp3.avi")
+        _mux_audio_into_avi(base, path, b"\xff\xfb" * 512, self.RATE,
+                            self.CH, self.BITS, format_tag=0x55)  # MP3 tag
+        assert read_avi_pcm_audio(path) is None
+        _, audio, info = read_video_with_info(path, start=0, end=4)
+        assert audio.shape == (0, 0) and info["audio_fps"] is None
+
+    def test_non_avi_returns_none(self, tmp_path):
+        from ganode_tpu.data import read_avi_pcm_audio
+
+        p = tmp_path / "not.avi"
+        p.write_bytes(b"definitely not a RIFF file" * 4)
+        assert read_avi_pcm_audio(str(p)) is None
 
 
 class TestFrameFolder:
