@@ -325,8 +325,11 @@ def main():
                                  jax.random.fold_in(key, offset + i))
                 return m
 
+            # 40-4=36 steps (~4 s) in the slope: the 12-step window used
+            # through r4 let tunnel jitter swing the MFU figure by ~±1.5pp
+            # run-to-run (54.1% vs 55.3%)
             st2 = _slope_time(run2, lambda m: float(m["gen_loss"]),
-                              n1=4, n2=16)
+                              n1=4, n2=40)
             result["large_batch"] = {
                 "batch_size": B2,
                 "step_time_ms": round(st2 * 1000, 2),
