@@ -27,6 +27,7 @@ from .clips import (
     compute_clips_for_video,
     unfold,
 )
+from .synthetic import moving_square_video, write_corpus
 from .ucf101 import (
     PackedVideoDataset,
     UCF101ClipSampler,
@@ -63,6 +64,7 @@ __all__ = [
     "load_rotmnist",
     "load_sklearn_digits",
     "make_global_batch",
+    "moving_square_video",
     "pack_arrays",
     "pack_ucf101",
     "parse_class_index",
@@ -70,4 +72,5 @@ __all__ = [
     "prefetch",
     "rotate_videos",
     "transforms",
+    "write_corpus",
 ]

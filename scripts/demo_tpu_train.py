@@ -65,6 +65,12 @@ def main():
     p.add_argument("--data", default=None,
                    help="rotated-digit .npz (rotmnist configs only); synthetic "
                         "data is used when absent")
+    p.add_argument("--pack", default=None,
+                   help="packed UCF101 shard dir (ucf101 configs only): draw "
+                        "the HBM-resident training set through the real "
+                        "offline-pack + keyed clip sampler path (e.g. built "
+                        "by scripts/make_synthetic_ucf101.py) instead of "
+                        "in-memory synthesis")
     p.add_argument("--steps", type=int, default=1500)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--n-videos", type=int, default=512)
@@ -148,9 +154,18 @@ def main():
             num_frames=config.video_length, digits=config.digits)
         videos_np = videos_np * 2.0 - 1.0  # [-1,1] so reals match tanh fakes
     elif config.dataset == "ucf101":
-        size = 128 if config.trunk == "dcgan128" else 64
-        videos_np, labels_np = synthetic_moving_shapes(
-            args.n_videos, config.video_length, size=size)
+        if args.pack:
+            from ganode_tpu.data import UCF101ClipSampler
+            sampler = UCF101ClipSampler(args.pack, batch_size=args.n_videos,
+                                        n_frame=config.video_length)
+            # one deterministic draw of n_videos clips held resident in HBM
+            # (same residency pattern as the synthetic path; the pack's mmap +
+            # keyed window sampling is what's being exercised)
+            videos_np, labels_np = sampler.sample(jax.random.PRNGKey(11))
+        else:
+            size = 128 if config.trunk == "dcgan128" else 64
+            videos_np, labels_np = synthetic_moving_shapes(
+                args.n_videos, config.video_length, size=size)
     else:
         videos_np, _ = synthetic_rotmnist(config, n_videos=args.n_videos)
         videos_np = videos_np * 2.0 - 1.0  # [-1,1] so reals match tanh fakes
@@ -187,6 +202,12 @@ def main():
         cls_labels = labels_np % 8 if config.dataset == "ucf101" else labels_np
         n_cls = int(cls_labels.max()) + 1
         n_emb = int(labels_np.max()) + 1
+        if config.dataset == "ucf101":
+            # direction x color factor classes: pin to the full 8/64 so every
+            # ucf101 run (in-memory moving shapes or --pack draw) scores
+            # against the SAME persisted feature models regardless of which
+            # classes a particular draw happened to include
+            n_cls, n_emb = 8, 64
         if config.dataset == "rotmnist":
             # digit-identity classes: pin to 10 so digit-filtered configs
             # (mnist_ode_wgan/noise, 3s-only) score against the SAME persisted

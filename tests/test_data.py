@@ -310,6 +310,78 @@ class TestTransforms:
         np.testing.assert_allclose(out, 0.0)
 
 
+class TestSyntheticCorpus:
+    """Labeled synthetic UCF101 stand-in: real .avi corpus -> real pack."""
+
+    def test_write_corpus_layout_and_pack(self, tmp_path):
+        pytest.importorskip("cv2")
+        from ganode_tpu.data import (moving_square_video, pack_ucf101,
+                                     parse_class_index, parse_split,
+                                     write_corpus)
+
+        root = str(tmp_path / "corpus")
+        train_paths, train_labels = write_corpus(
+            root, 16, min_frames=18, max_frames=24, seed=1, test_every=4)
+        classes, class_to_idx = parse_class_index(root + "/annotations")
+        assert len(classes) == 64
+        # 0-based indices carry the factor label directly (label%8 = color)
+        assert class_to_idx[classes[0]] == 0
+        assert parse_split(root + "/annotations", train=True, fold=1) \
+            == train_paths
+        held_out = parse_split(root + "/annotations", train=False, fold=1)
+        assert len(held_out) + len(train_paths) == 16
+
+        out = pack_ucf101(root, str(tmp_path / "packed"), progress=False)
+        ds = PackedVideoDataset(out)
+        assert len(ds) == len(train_paths)
+        assert list(ds.labels) == train_labels
+        assert 18 <= ds.lengths.min() and ds.lengths.max() <= 24
+
+        # the color-octant factor survives MJPG encode -> decode -> bicubic
+        # resize -> crop (the band around the 0.6 threshold is rejection-
+        # sampled away at generation time)
+        for i in range(len(ds)):
+            frame = (ds.frame(i, 0).astype(np.float32) - 128.0) / 128.0
+            mask = frame.max(axis=-1) > -0.5
+            assert mask.any()
+            med = np.median(frame[mask], axis=0)
+            assert int((med > 0.6) @ np.array([4, 2, 1])) == ds.labels[i] % 8
+
+        s = UCF101ClipSampler(out, batch_size=4, n_frame=16)
+        clips, labels = s.sample(jax.random.PRNGKey(0))
+        assert clips.shape == (4, 16, 64, 64, 3)
+        assert -1.0 <= clips.min() and clips.max() <= 1.0
+
+    def test_direction_octant_matches_motion(self):
+        from ganode_tpu.data import moving_square_video
+        from ganode_tpu.data.synthetic import _X_SAFE, _Y_SAFE
+
+        rng = np.random.RandomState(3)
+        checked = 0
+        for _ in range(16):
+            video, label = moving_square_video(rng, 12)
+            # exact square position from the mask bbox; only clamp-free
+            # steps (bbox strictly inside the safe box) measure the true
+            # per-frame (dx, dy)
+            pos = []
+            for t in range(2):
+                m = video[t].max(axis=-1) > 0
+                yy, xx = np.nonzero(m)
+                pos.append((xx.min(), xx.max(), yy.min(), yy.max()))
+            clamped = any(
+                x0 <= _X_SAFE[0] or x1 >= _X_SAFE[1] - 1
+                or y0 <= _Y_SAFE[0] or y1 >= _Y_SAFE[1] - 1
+                for x0, x1, y0, y1 in pos)
+            if clamped:
+                continue
+            dx = pos[1][0] - pos[0][0]
+            dy = pos[1][2] - pos[0][2]
+            octant = int(np.round(np.arctan2(dy, dx) / (np.pi / 4))) % 8
+            assert octant == label // 8
+            checked += 1
+        assert checked >= 4  # enough clamp-free draws actually verified
+
+
 class TestVideoDecodePack:
     """End-to-end pack from real encoded video files (synthetic AVIs)."""
 
