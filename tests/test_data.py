@@ -678,6 +678,79 @@ class TestAviAudio:
         assert read_avi_pcm_audio(str(p)) is None
 
 
+class TestDecodeRobustness:
+    """Pin the reader's degrade-gracefully contract on damaged files.
+
+    The reference swallows decoder errors and returns whatever frames decoded
+    (dataset/video/video_utils.py:85-103 catches av.AVError mid-stream), and
+    its dataset skips videos whose decodable length is too short
+    (dataset/ucf101new.py:59-68). The rebuild's equivalents: read_video
+    returns the decodable prefix (never raises on truncation), and
+    pack_ucf101 drops sub-n_frame videos at pack time.
+    """
+
+    def _write_avi(self, path, frames, rng):
+        cv2 = pytest.importorskip("cv2")
+        w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"MJPG"), 25,
+                            (320, 240))
+        for _ in range(frames):
+            w.write(rng.randint(0, 255, (240, 320, 3), dtype=np.uint8))
+        w.release()
+
+    def test_truncated_file_returns_decodable_prefix(self, tmp_path):
+        from ganode_tpu.data.video import read_video, read_video_with_info
+
+        path = tmp_path / "full.avi"
+        self._write_avi(path, 30, np.random.RandomState(0))
+        full = read_video(str(path))
+        assert full.shape[0] == 30
+
+        cut = tmp_path / "cut.avi"
+        cut.write_bytes(path.read_bytes()[:path.stat().st_size // 2])
+        part = read_video(str(cut))
+        # never raises; yields a strict, non-empty prefix of the stream (the
+        # final returned frame may itself be a partial decode of the chunk
+        # the truncation landed in, so compare the frames before it)
+        assert 0 < part.shape[0] < 30
+        np.testing.assert_array_equal(part[:-1], full[:part.shape[0] - 1])
+
+        vframes, audio, info = read_video_with_info(str(cut))
+        assert vframes.shape[0] == part.shape[0]
+        assert audio.shape == (0, 0)
+
+    def test_garbage_file_returns_empty_not_raise(self, tmp_path):
+        from ganode_tpu.data.video import probe_length, read_video
+
+        p = tmp_path / "garbage.avi"
+        p.write_bytes(bytes(range(256)) * 64)
+        assert read_video(str(p)).shape == (0, 0, 0, 3)
+        assert probe_length(str(p)) == 0
+
+    def test_pack_skips_corrupt_keeps_truncated_prefix(self, tmp_path):
+        from ganode_tpu.data import pack_ucf101
+
+        root = tmp_path / "ucf"
+        (root / "videos" / "Clap").mkdir(parents=True)
+        (root / "annotations").mkdir()
+        rng = np.random.RandomState(1)
+        self._write_avi(root / "videos" / "Clap" / "good.avi", 30, rng)
+        self._write_avi(root / "videos" / "Clap" / "trunc.avi", 40, rng)
+        blob = (root / "videos" / "Clap" / "trunc.avi").read_bytes()
+        (root / "videos" / "Clap" / "trunc.avi").write_bytes(
+            blob[:int(len(blob) * 0.75)])
+        (root / "videos" / "Clap" / "corrupt.avi").write_bytes(b"\0" * 4096)
+        (root / "annotations" / "classInd.txt").write_text("1 Clap\n")
+        (root / "annotations" / "trainlist01.txt").write_text(
+            "Clap/good.avi 1\nClap/trunc.avi 1\nClap/corrupt.avi 1\n")
+
+        out = pack_ucf101(str(root), str(tmp_path / "packed"), progress=False)
+        ds = PackedVideoDataset(out)
+        # corrupt (0 decodable frames) dropped; truncated kept at its
+        # decodable prefix length iff that prefix still holds >= n_frame
+        assert 1 <= len(ds) <= 2
+        assert ds.lengths.max() == 30 or ds.lengths.max() < 40
+
+
 class TestFrameFolder:
     @pytest.fixture()
     def frame_tree(self, tmp_path):
