@@ -289,6 +289,41 @@ class TestCheckpoint:
         with pytest.raises(FileNotFoundError):
             mgr.restore({"x": jnp.zeros(2)})
 
+    def test_relocated_checkpoint_restores_bitwise(self, tmp_path):
+        """A step directory copied to a different checkpoint root restores
+        bit-identically — the durable-storage round trip ephemeral workers
+        rely on (docs/OPERATIONS.md: copy latest step to durable storage,
+        copy back under a fresh workdir, --resume)."""
+        import shutil
+
+        from ganode_tpu.models import (
+            PatchImageDiscriminator, VideoDiscriminator, make_generator)
+        from ganode_tpu.train import GANTrainer
+        from ganode_tpu.utils.checkpoint import CheckpointManager
+
+        gen = make_generator("ode", n_channels=1, trunk="mnist28",
+                             video_length=8, dim_z_content=4, dim_z_motion=4,
+                             ngf=8)
+        tr = GANTrainer(gen=gen, dis_img=PatchImageDiscriminator(ndf=8),
+                        dis_vid=VideoDiscriminator(ksize=2, ndf=8),
+                        batch_size=2, d_iters=1)
+        state = tr.init_state(jax.random.PRNGKey(5))
+
+        mgr = CheckpointManager(str(tmp_path / "worker" / "checkpoints"))
+        mgr.save(3, state, wait=True)
+        mgr.close()
+
+        # durable copy -> fresh worker's workdir (different absolute path)
+        shutil.copytree(tmp_path / "worker" / "checkpoints" / "3",
+                        tmp_path / "fresh" / "checkpoints" / "3")
+
+        mgr2 = CheckpointManager(str(tmp_path / "fresh" / "checkpoints"))
+        assert mgr2.latest_step() == 3
+        restored = mgr2.restore(tr.init_state(jax.random.PRNGKey(11)))
+        mgr2.close()
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestRunner:
     def test_two_step_synthetic_mnist_run(self, tmp_path):
