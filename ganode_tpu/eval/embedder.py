@@ -73,12 +73,24 @@ def train_classifier(images: np.ndarray, labels: np.ndarray, *,
     return model, params, acc
 
 
+# jitted embedder applies, cached per model definition: a fresh jax.jit(lambda)
+# per embed_videos call would retrace AND recompile on every invocation — on
+# the remote-tunnel TPU that is a ~20-40 s compile repeated at every eval
+# boundary of a long run. flax modules are frozen dataclasses, so the model
+# itself is a valid cache key; params travel as a traced argument.
+_EMBED_APPLY: dict = {}
+
+
 def embed_videos(model: VideoEmbedder, params, videos: np.ndarray,
                  batch_size: int = 32) -> np.ndarray:
+    apply = _EMBED_APPLY.get(model)
+    if apply is None:
+        apply = jax.jit(lambda p, v: model.apply({"params": p}, v))
+        _EMBED_APPLY[model] = apply
     feats = []
-    apply = jax.jit(lambda v: model.apply({"params": params}, v))
     for i in range(0, len(videos), batch_size):
-        feats.append(np.asarray(apply(jnp.asarray(videos[i:i + batch_size]))))
+        feats.append(np.asarray(apply(params,
+                                      jnp.asarray(videos[i:i + batch_size]))))
     return np.concatenate(feats)
 
 

@@ -24,8 +24,8 @@ protocol of ``data/transforms.py`` carried into the differentiable setting
 motion signal the video discriminator exists to judge).
 
 Inputs may be image batches ``(B, H, W, C)`` or video batches
-``(B, T, H, W, C)``, channels-last, any float dtype (draws are computed in
-f32 and cast back).
+``(B, T, H, W, C)``, channels-last, any float dtype (draws are computed at
+f32-or-higher precision and cast back to the input dtype).
 """
 from __future__ import annotations
 
@@ -173,7 +173,12 @@ def diff_augment(x, key, policy, p=None):
     if x.ndim not in (4, 5):
         raise ValueError(f"expected (B,H,W,C) or (B,T,H,W,C), got {x.shape}")
     dtype = x.dtype
-    x = x.astype(jnp.float32)
+    # draws are computed at >= f32 precision, never below the input's: bf16
+    # inputs upcast to f32, while f64 inputs (the process-global x64 flag that
+    # pytest collection can flip — CLAUDE.md) stay f64 so un-gated samples
+    # round-trip bitwise (the ADA p-gate's `jnp.where(keep, aug, x)` must
+    # return x EXACTLY for rejected gates).
+    x = x.astype(jnp.promote_types(dtype, jnp.float32))
     for i, name in enumerate(ops):
         aug = POLICY_OPS[name](x, jax.random.fold_in(key, i))
         if p is None:

@@ -254,14 +254,23 @@ def main():
     emb_bs = 32 if videos_np[0].nbytes > 2**22 else 64
     feats_real = embed_videos(embedder, emb_params, videos_np[:256], emb_bs)
 
+    # jitted eval sampler, compiled once per chunk size: the unjitted flax
+    # apply dispatches the whole generator (ODE solve + 128^2 deconv trunk)
+    # op-by-op, which over the remote tunnel dominated the eval boundary
+    # (~100+ s of the ~230 s/eval budget in DEMO_RESULTS_WGAN128_REBUILD.json)
+    _sample_jit = {}
+
     def sample_fakes(state, n, seed):
         variables = trainer.eval_gen_variables(state)
         outs = []
         for j in range(0, n, 64):
-            (v, _) = trainer.gen.apply(
-                variables, min(64, n - j), method="sample_videos",
-                rngs={"sample": jax.random.PRNGKey(seed + j)}, train=False)
-            outs.append(np.asarray(v))
+            m = min(64, n - j)
+            if m not in _sample_jit:
+                _sample_jit[m] = jax.jit(lambda v, k, m=m: trainer.gen.apply(
+                    v, m, method="sample_videos",
+                    rngs={"sample": k}, train=False)[0])
+            outs.append(np.asarray(
+                _sample_jit[m](variables, jax.random.PRNGKey(seed + j))))
         return np.concatenate(outs)
 
     mgr = None
