@@ -348,68 +348,138 @@ def main():
         except Exception as e:  # never let the secondary break the headline
             result["large_batch_error"] = repr(e)[:200]
 
+    # ---- saturation batch (secondary): same config at B=256 ------------------
+    # Where clips/s/chip tops out: B=128 reached ~54.5-55.3% MFU across driver
+    # runs; this row shows whether doubling again still buys throughput or the
+    # chip is GEMM-saturated (VERDICT r4 #6). Guarded like large_batch.
+    if on_tpu and compile_s < 1500:
+        try:
+            B4 = 256
+            tr4 = GANTrainer(
+                gen=gen, dis_img=PatchImageDiscriminator(dtype=dtype),
+                dis_vid=VideoDiscriminator(ksize=4, dtype=dtype),
+                batch_size=B4, d_iters=2)
+            state4 = jax.jit(tr4.init_state)(jax.random.fold_in(key, 998))
+            images4 = jnp.asarray(rng.uniform(-1, 1, (2, B4, 64, 64, 3)),
+                                  jnp.float32)
+            videos4 = jnp.asarray(rng.uniform(-1, 1, (2, B4, T, 64, 64, 3)),
+                                  jnp.float32)
+            step4 = jax.jit(tr4.train_step).lower(
+                state4, images4, videos4,
+                jax.random.fold_in(key, 4000)).compile()
+            state4, m4 = step4(state4, images4, videos4,
+                               jax.random.fold_in(key, 4000))
+            float(m4["gen_loss"])
+
+            def run4(n, offset):
+                s, m = state4, m4
+                for i in range(n):
+                    s, m = step4(s, images4, videos4,
+                                 jax.random.fold_in(key, offset + i))
+                return m
+
+            # 2x the step time of B=128 -> half the slope window keeps the
+            # wall cost comparable while spanning the same ~4 s of stepping
+            st4 = _slope_time(run4, lambda m: float(m["gen_loss"]),
+                              n1=2, n2=20)
+            result["saturation_batch"] = {
+                "batch_size": B4,
+                "step_time_ms": round(st4 * 1000, 2),
+                "clips_per_sec": round(B4 / st4, 1),
+            }
+            try:
+                ca4 = step4.cost_analysis()
+                if isinstance(ca4, (list, tuple)):
+                    ca4 = ca4[0] if ca4 else {}
+                f4 = float(ca4.get("flops", 0))
+                peak = _peak_flops(result["device_kind"])
+                if f4 > 0 and peak:
+                    result["saturation_batch"]["mfu"] = round(
+                        f4 / st4 / peak, 4)
+            except Exception:
+                pass
+        except Exception as e:
+            result["saturation_batch_error"] = repr(e)[:200]
+
     # ---- north-star config (secondary): WGAN-GP @ 128x128 / 32 frames ------
     # The variant the reference documented as untrainable, stabilized here
     # (BASELINE.md): dopri5 motion, SN critics, gradient penalty, d_iters=5.
     # Whole-step time + MFU only (the per-phase breakdown lives in
     # scripts/bench_wgan128.py / DEMO_RESULTS_WGAN128_PERF.json). Guarded like
     # large_batch: never allowed to break the headline.
+    # Measured twice: the plain config (the cross-round comparability row,
+    # BENCH_r02..r04) and the PRODUCTION stabilized config — diffaug + EMA,
+    # exactly what the long demo run trains — so the run budget rests on a
+    # driver-captured number (VERDICT r4 #6).
     if on_tpu and compile_s < 1500:
-        try:
-            from ganode_tpu.train.runner import build_trainer
-            from ganode_tpu.utils.config import get_config
+        from ganode_tpu.train.runner import build_trainer
+        from ganode_tpu.utils.config import get_config
 
-            cfg = get_config("ucf_wgan_gp_128", compute_dtype="bfloat16")
-            tr3 = build_trainer(cfg)
-            B3, T3, D3 = cfg.batch_size, cfg.video_length, cfg.d_iters
-            state3 = jax.jit(tr3.init_state)(jax.random.fold_in(key, 1999))
-            images3 = jnp.asarray(
-                rng.uniform(-1, 1, (D3, B3, 128, 128, 3)), jnp.float32)
-            videos3 = jnp.asarray(
-                rng.uniform(-1, 1, (D3, B3, T3, 128, 128, 3)), jnp.float32)
-            # AOT lower+compile ONCE: the compiled executable both serves the
-            # timed runs and answers cost_analysis — a separate
-            # step3.lower().compile() after jit dispatch would build a second
-            # executable of this ~80 s-compile program (AOT does not reuse the
-            # jit dispatch cache entry)
-            t0 = time.time()
-            step3 = jax.jit(tr3.train_step).lower(
-                state3, images3, videos3,
-                jax.random.fold_in(key, 3000)).compile()
-            ns_compile = time.time() - t0
-            state3, m3 = step3(state3, images3, videos3,
-                               jax.random.fold_in(key, 3000))
-            float(m3["gen_loss"])
-
-            def run3(n, offset):
-                s, m = state3, m3
-                for i in range(n):
-                    s, m = step3(s, images3, videos3,
-                                 jax.random.fold_in(key, offset + i))
-                return m
-
-            st3 = _slope_time(run3, lambda m: float(m["gen_loss"]),
-                              n1=2, n2=8)
-            result["north_star"] = {
-                "config": "ucf_wgan_gp_128",
-                "batch_size": B3, "video_length": T3, "d_iters": D3,
-                "step_time_ms": round(st3 * 1000, 2),
-                "clips_per_sec": round(B3 / st3, 1),
-                "compile_s": round(ns_compile, 1),
-            }
+        reals3 = None  # host arrays shared by both variants
+        for section, overrides in (
+            ("north_star", {}),
+            ("north_star_stab", {"diffaug": "color,translation,cutout",
+                                 "ema_decay": 0.999}),
+        ):
             try:
-                ca3 = step3.cost_analysis()
-                if isinstance(ca3, (list, tuple)):
-                    ca3 = ca3[0] if ca3 else {}
-                f3 = float(ca3.get("flops", 0))
-                peak = _peak_flops(result["device_kind"])
-                if f3 > 0 and peak:
-                    result["north_star"]["step_tflops"] = round(f3 / 1e12, 2)
-                    result["north_star"]["mfu"] = round(f3 / st3 / peak, 4)
-            except Exception:
-                pass
-        except Exception as e:
-            result["north_star_error"] = repr(e)[:200]
+                cfg = get_config("ucf_wgan_gp_128", compute_dtype="bfloat16",
+                                 **overrides)
+                tr3 = build_trainer(cfg)
+                B3, T3, D3 = cfg.batch_size, cfg.video_length, cfg.d_iters
+                state3 = jax.jit(tr3.init_state)(jax.random.fold_in(key, 1999))
+                if reals3 is None:
+                    reals3 = (
+                        jnp.asarray(rng.uniform(-1, 1, (D3, B3, 128, 128, 3)),
+                                    jnp.float32),
+                        jnp.asarray(
+                            rng.uniform(-1, 1, (D3, B3, T3, 128, 128, 3)),
+                            jnp.float32))
+                images3, videos3 = reals3
+                # AOT lower+compile ONCE: the compiled executable both serves
+                # the timed runs and answers cost_analysis — a separate
+                # step3.lower().compile() after jit dispatch would build a
+                # second executable of this ~80 s-compile program (AOT does
+                # not reuse the jit dispatch cache entry)
+                t0 = time.time()
+                step3 = jax.jit(tr3.train_step).lower(
+                    state3, images3, videos3,
+                    jax.random.fold_in(key, 3000)).compile()
+                ns_compile = time.time() - t0
+                state3, m3 = step3(state3, images3, videos3,
+                                   jax.random.fold_in(key, 3000))
+                float(m3["gen_loss"])
+
+                def run3(n, offset, state3=state3, m3=m3, step3=step3,
+                         images3=images3, videos3=videos3):
+                    s, m = state3, m3
+                    for i in range(n):
+                        s, m = step3(s, images3, videos3,
+                                     jax.random.fold_in(key, offset + i))
+                    return m
+
+                st3 = _slope_time(run3, lambda m: float(m["gen_loss"]),
+                                  n1=2, n2=8)
+                result[section] = {
+                    "config": "ucf_wgan_gp_128",
+                    "overrides": overrides,
+                    "batch_size": B3, "video_length": T3, "d_iters": D3,
+                    "step_time_ms": round(st3 * 1000, 2),
+                    "clips_per_sec": round(B3 / st3, 1),
+                    "compile_s": round(ns_compile, 1),
+                }
+                try:
+                    ca3 = step3.cost_analysis()
+                    if isinstance(ca3, (list, tuple)):
+                        ca3 = ca3[0] if ca3 else {}
+                    f3 = float(ca3.get("flops", 0))
+                    peak = _peak_flops(result["device_kind"])
+                    if f3 > 0 and peak:
+                        result[section]["step_tflops"] = round(f3 / 1e12, 2)
+                        result[section]["mfu"] = round(f3 / st3 / peak, 4)
+                except Exception:
+                    pass
+            except Exception as e:
+                result[section + "_error"] = repr(e)[:200]
 
     torch_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BASELINE_TORCH.json")
