@@ -252,7 +252,9 @@ def main():
     # dataset — halve it for such clips (threshold 4 MB; the 64px clips are
     # well under at <1 MB, so only the 128px configs take the smaller batch)
     emb_bs = 32 if videos_np[0].nbytes > 2**22 else 64
-    feats_real = embed_videos(embedder, emb_params, videos_np[:256], emb_bs)
+    # embed the HBM-resident copy: videos is already on device, so slicing it
+    # avoids re-uploading 1.6 GB (256 x 6 MB clips at 128px) through the tunnel
+    feats_real = embed_videos(embedder, emb_params, videos[:256], emb_bs)
 
     # jitted eval sampler, compiled once per chunk size: the unjitted flax
     # apply dispatches the whole generator (ODE solve + 128^2 deconv trunk)
@@ -260,18 +262,34 @@ def main():
     # (~100+ s of the ~230 s/eval budget in DEMO_RESULTS_WGAN128_REBUILD.json)
     _sample_jit = {}
 
-    def sample_fakes(state, n, seed):
+    def _sample_chunk(variables, m, k):
+        if m not in _sample_jit:
+            _sample_jit[m] = jax.jit(lambda v, k, m=m: trainer.gen.apply(
+                v, m, method="sample_videos",
+                rngs={"sample": k}, train=False)[0])
+        return _sample_jit[m](variables, k)  # stays on device
+
+    def eval_fakes(state, n, seed, frame_seed):
+        """Sample n eval clips and score them device-side, pulling to host only
+        what the host actually consumes: the (n, D) feature rows, one random
+        frame per clip (the IS classifier input — same RandomState(frame_seed)
+        draw as always), and the first 16 clips (the GIF grid). The previous
+        eval pulled ALL n clips to host then re-uploaded them to embed —
+        a 2 x 1.6 GB tunnel round-trip per eval at 128px, the bulk of the
+        ~230 s/eval budget in DEMO_RESULTS_WGAN128_REBUILD.json."""
         variables = trainer.eval_gen_variables(state)
-        outs = []
+        fix = np.random.RandomState(frame_seed).randint(
+            0, config.video_length, n)
+        feats, frames, gif16 = [], [], None
         for j in range(0, n, 64):
             m = min(64, n - j)
-            if m not in _sample_jit:
-                _sample_jit[m] = jax.jit(lambda v, k, m=m: trainer.gen.apply(
-                    v, m, method="sample_videos",
-                    rngs={"sample": k}, train=False)[0])
-            outs.append(np.asarray(
-                _sample_jit[m](variables, jax.random.PRNGKey(seed + j))))
-        return np.concatenate(outs)
+            vids = _sample_chunk(variables, m, jax.random.PRNGKey(seed + j))
+            feats.append(embed_videos(embedder, emb_params, vids, emb_bs))
+            frames.append(np.asarray(
+                vids[jnp.arange(m), jnp.asarray(fix[j:j + m])]))
+            if j == 0:
+                gif16 = np.asarray(vids[:16])
+        return np.concatenate(feats), np.concatenate(frames), gif16
 
     mgr = None
     if args.save_checkpoint:
@@ -302,9 +320,9 @@ def main():
             if (i % args.eval_every == 0 or i == args.steps - 1
                     or (stopped_early and i % 50 == 0)):
                 m = {k: float(v) for k, v in metrics.items()}  # host sync
-                fakes = sample_fakes(state, 256, 10_000 + i)
-                value = fvd(feats_real,
-                            embed_videos(embedder, emb_params, fakes, emb_bs))
+                feats_fake, fake_frames, gif16 = eval_fakes(
+                    state, 256, 10_000 + i, i)
+                value = fvd(feats_real, feats_fake)
                 rec = {"step": i, **{k: round(v, 4) for k, v in m.items()},
                        "fvd": round(value, 4),
                        "elapsed_s": round(time.time() - t0, 1)}
@@ -312,10 +330,7 @@ def main():
                     # random frame per video (matches the real-frame draw and
                     # the reference's image path; frame 0 biases toward the
                     # warm-up state)
-                    fix = np.random.RandomState(i).randint(
-                        0, fakes.shape[1], len(fakes))
-                    probs = np.asarray(cls_apply(
-                        jnp.asarray(fakes[np.arange(len(fakes)), fix])))
+                    probs = np.asarray(cls_apply(jnp.asarray(fake_frames)))
                     is_mean, is_std = inception_score(probs)
                     rec["is_mean"] = round(is_mean, 4)
                     rec["is_std"] = round(is_std, 4)
@@ -323,7 +338,7 @@ def main():
                 print(json.dumps(rec), flush=True)
                 save_sample_grid(
                     os.path.join(args.workdir, f"samples_{i:05d}.gif"),
-                    fakes[:16], n=4)
+                    gif16, n=4)
                 if mgr is not None:
                     mgr.save(int(state.step), state)  # async; bounded crash loss
             if stopped_early:
