@@ -76,6 +76,23 @@ def main():
     )
     from ganode_tpu.train import GANTrainer
 
+    # Wall-clock budget for the WHOLE bench. A cold axon tunnel can inflate
+    # every remote compile severalfold (the HEAD bench's 5 secondary compiles
+    # pushed one cold run past 30 min with zero output); rather than risk the
+    # driver's harness timing the process out — which loses the artifact
+    # entirely — the secondary sections below check the remaining budget and
+    # skip WITH A NOTE when it's spent. Priority order (first to run = last to
+    # be skipped): large_batch, north_star, north_star_stab, saturation_batch.
+    bench_t0 = time.time()
+    bench_budget_s = float(os.environ.get("BENCH_BUDGET_S", "1320"))
+
+    def _budget_left():
+        return bench_budget_s - (time.time() - bench_t0)
+
+    def _progress(tag):
+        print(f"[bench] {tag} t={time.time() - bench_t0:.0f}s "
+              f"left={_budget_left():.0f}s", file=sys.stderr, flush=True)
+
     B, T = 32, 16
     on_tpu = jax.default_backend() == "tpu"
     # TPU-native precision: bfloat16 conv/deconv compute (f32 params/logits) and
@@ -297,7 +314,8 @@ def main():
     # from the artifact (VERDICT r2 weak #5); a cold tunnel costs ~10 extra
     # minutes here, which is worth the secondary bench point — only a truly
     # wedged tunnel (>25 min compile) skips now.
-    if on_tpu and compile_s < 1500:
+    if on_tpu and compile_s < 1500 and _budget_left() > 180:
+        _progress("large_batch")
         try:
             B2 = 128
             tr2 = GANTrainer(
@@ -347,59 +365,8 @@ def main():
                 pass
         except Exception as e:  # never let the secondary break the headline
             result["large_batch_error"] = repr(e)[:200]
-
-    # ---- saturation batch (secondary): same config at B=256 ------------------
-    # Where clips/s/chip tops out: B=128 reached ~54.5-55.3% MFU across driver
-    # runs; this row shows whether doubling again still buys throughput or the
-    # chip is GEMM-saturated (VERDICT r4 #6). Guarded like large_batch.
-    if on_tpu and compile_s < 1500:
-        try:
-            B4 = 256
-            tr4 = GANTrainer(
-                gen=gen, dis_img=PatchImageDiscriminator(dtype=dtype),
-                dis_vid=VideoDiscriminator(ksize=4, dtype=dtype),
-                batch_size=B4, d_iters=2)
-            state4 = jax.jit(tr4.init_state)(jax.random.fold_in(key, 998))
-            images4 = jnp.asarray(rng.uniform(-1, 1, (2, B4, 64, 64, 3)),
-                                  jnp.float32)
-            videos4 = jnp.asarray(rng.uniform(-1, 1, (2, B4, T, 64, 64, 3)),
-                                  jnp.float32)
-            step4 = jax.jit(tr4.train_step).lower(
-                state4, images4, videos4,
-                jax.random.fold_in(key, 4000)).compile()
-            state4, m4 = step4(state4, images4, videos4,
-                               jax.random.fold_in(key, 4000))
-            float(m4["gen_loss"])
-
-            def run4(n, offset):
-                s, m = state4, m4
-                for i in range(n):
-                    s, m = step4(s, images4, videos4,
-                                 jax.random.fold_in(key, offset + i))
-                return m
-
-            # 2x the step time of B=128 -> half the slope window keeps the
-            # wall cost comparable while spanning the same ~4 s of stepping
-            st4 = _slope_time(run4, lambda m: float(m["gen_loss"]),
-                              n1=2, n2=20)
-            result["saturation_batch"] = {
-                "batch_size": B4,
-                "step_time_ms": round(st4 * 1000, 2),
-                "clips_per_sec": round(B4 / st4, 1),
-            }
-            try:
-                ca4 = step4.cost_analysis()
-                if isinstance(ca4, (list, tuple)):
-                    ca4 = ca4[0] if ca4 else {}
-                f4 = float(ca4.get("flops", 0))
-                peak = _peak_flops(result["device_kind"])
-                if f4 > 0 and peak:
-                    result["saturation_batch"]["mfu"] = round(
-                        f4 / st4 / peak, 4)
-            except Exception:
-                pass
-        except Exception as e:
-            result["saturation_batch_error"] = repr(e)[:200]
+    elif on_tpu:
+        result["large_batch_skipped"] = "time budget"
 
     # ---- north-star config (secondary): WGAN-GP @ 128x128 / 32 frames ------
     # The variant the reference documented as untrainable, stabilized here
@@ -421,6 +388,10 @@ def main():
             ("north_star_stab", {"diffaug": "color,translation,cutout",
                                  "ema_decay": 0.999}),
         ):
+            if _budget_left() < 270:
+                result[section + "_skipped"] = "time budget"
+                continue
+            _progress(section)
             try:
                 cfg = get_config("ucf_wgan_gp_128", compute_dtype="bfloat16",
                                  **overrides)
@@ -480,6 +451,63 @@ def main():
                     pass
             except Exception as e:
                 result[section + "_error"] = repr(e)[:200]
+
+    # ---- saturation batch (secondary): same config at B=256 ------------------
+    # Where clips/s/chip tops out: B=128 reached ~54.5-55.3% MFU across driver
+    # runs; this row shows whether doubling again still buys throughput or the
+    # chip is GEMM-saturated (VERDICT r4 #6). Guarded like large_batch.
+    if on_tpu and compile_s < 1500 and _budget_left() > 180:
+        _progress("saturation_batch")
+        try:
+            B4 = 256
+            tr4 = GANTrainer(
+                gen=gen, dis_img=PatchImageDiscriminator(dtype=dtype),
+                dis_vid=VideoDiscriminator(ksize=4, dtype=dtype),
+                batch_size=B4, d_iters=2)
+            state4 = jax.jit(tr4.init_state)(jax.random.fold_in(key, 998))
+            images4 = jnp.asarray(rng.uniform(-1, 1, (2, B4, 64, 64, 3)),
+                                  jnp.float32)
+            videos4 = jnp.asarray(rng.uniform(-1, 1, (2, B4, T, 64, 64, 3)),
+                                  jnp.float32)
+            step4 = jax.jit(tr4.train_step).lower(
+                state4, images4, videos4,
+                jax.random.fold_in(key, 4000)).compile()
+            state4, m4 = step4(state4, images4, videos4,
+                               jax.random.fold_in(key, 4000))
+            float(m4["gen_loss"])
+
+            def run4(n, offset):
+                s, m = state4, m4
+                for i in range(n):
+                    s, m = step4(s, images4, videos4,
+                                 jax.random.fold_in(key, offset + i))
+                return m
+
+            # 2x the step time of B=128 -> half the slope window keeps the
+            # wall cost comparable while spanning the same ~4 s of stepping
+            st4 = _slope_time(run4, lambda m: float(m["gen_loss"]),
+                              n1=2, n2=20)
+            result["saturation_batch"] = {
+                "batch_size": B4,
+                "step_time_ms": round(st4 * 1000, 2),
+                "clips_per_sec": round(B4 / st4, 1),
+            }
+            try:
+                ca4 = step4.cost_analysis()
+                if isinstance(ca4, (list, tuple)):
+                    ca4 = ca4[0] if ca4 else {}
+                f4 = float(ca4.get("flops", 0))
+                peak = _peak_flops(result["device_kind"])
+                if f4 > 0 and peak:
+                    result["saturation_batch"]["mfu"] = round(
+                        f4 / st4 / peak, 4)
+            except Exception:
+                pass
+        except Exception as e:
+            result["saturation_batch_error"] = repr(e)[:200]
+    elif on_tpu:
+        result["saturation_batch_skipped"] = "time budget"
+
 
     torch_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BASELINE_TORCH.json")
